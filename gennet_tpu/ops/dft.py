@@ -72,6 +72,39 @@ def irdft(re: jnp.ndarray, im: jnp.ndarray, N: int) -> jnp.ndarray:
     )
 
 
+@lru_cache(maxsize=32)
+def _irdft_slice_tables(N: int, start: int, width: int, weights_key=None):
+    cos_t, sin_t = _irdft_tables(N)
+    cols = (np.arange(start, start + width)) % N
+    c = cos_t[:, cols].copy()
+    s = sin_t[:, cols].copy()
+    if weights_key is not None:
+        w = np.asarray(weights_key, np.float32)
+        c *= w
+        s *= w
+    return c, s
+
+
+def irdft_slice(re: jnp.ndarray, im: jnp.ndarray, N: int, start: int, width: int,
+                weights: tuple | None = None) -> jnp.ndarray:
+    """Inverse real DFT evaluated only on output samples
+    ``[start, start+width) mod N`` — a column slice of the iDFT matrix, with
+    optional per-output-sample ``weights`` (e.g. an extraction window) folded
+    into the constant matrix at zero runtime cost.
+
+    This is the TPU-native fusion of roll/window/crop postprocessing: slicing
+    the columns makes the matmul proportionally cheaper, and wraparound
+    column indexing gives circular semantics for free.
+
+    ``weights`` must be a hashable tuple of floats of length ``width`` (it
+    keys the constant-table cache).
+    """
+    cos_t, sin_t = _irdft_slice_tables(N, start, width, weights)
+    return jnp.matmul(re, jnp.asarray(cos_t), preferred_element_type=jnp.float32) - jnp.matmul(
+        im, jnp.asarray(sin_t), preferred_element_type=jnp.float32
+    )
+
+
 def rdft(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward real DFT: (…, N) time series → (re, im) pair of (…, Nf).
 

@@ -50,34 +50,39 @@ _LEAP_TABLE = np.array(
 )
 
 
-def gps_to_gmst(gps: jnp.ndarray) -> jnp.ndarray:
+def gps_to_gmst(gps) -> np.ndarray:
     """Greenwich mean sidereal time [rad] from a GPS time.
 
     UT1 ≈ UTC = GPS − leap(GPS); GMST via the USNO linear approximation
     (error ≪ 1 s over the detector era, i.e. ≪ 1e-4 rad — far below the
     antenna-pattern sensitivity to sky position).
+
+    Host-side numpy float64: GPS epochs (~1e9 s) lose ~64 s of precision in
+    float32, so this geometry is always evaluated on the host and folded
+    into device programs as compile-time constants (the reference likewise
+    computes it once per template on the CPU via LAL).
     """
-    gps = jnp.asarray(gps, jnp.float64)
-    idx = jnp.searchsorted(jnp.asarray(_LEAP_TABLE[:, 0]), gps, side="right") - 1
-    leap = jnp.asarray(_LEAP_TABLE[:, 1])[idx]
+    gps = np.asarray(gps, np.float64)
+    idx = np.searchsorted(_LEAP_TABLE[:, 0], gps, side="right") - 1
+    leap = _LEAP_TABLE[:, 1][idx]
     utc = gps - leap
     # days of UT1 since J2000.0 (JD 2451545.0); GPS epoch JD = 2444244.5
     d = (utc / 86400.0) + 2444244.5 - 2451545.0
     gmst_hours = 18.697374558 + 24.06570982441908 * d
-    return (jnp.mod(gmst_hours, 24.0) * (2.0 * jnp.pi / 24.0)).astype(jnp.float64)
+    return np.mod(gmst_hours, 24.0) * (2.0 * np.pi / 24.0)
 
 
 def _polarization_basis(ra, dec, psi, gmst):
     """LAL-convention polarization axis vectors X, Y in Earth-fixed frame."""
     gha = gmst - ra
-    cg, sg = jnp.cos(gha), jnp.sin(gha)
-    cd, sd = jnp.cos(dec), jnp.sin(dec)
-    cp, sp = jnp.cos(psi), jnp.sin(psi)
-    X = jnp.stack(
-        [-cp * sg - sp * cg * sd, -cp * cg + sp * sg * sd, sp * cd], axis=-1
+    cg, sg = np.cos(gha), np.sin(gha)
+    cd, sd = np.cos(dec), np.sin(dec)
+    cp, sp = np.cos(psi), np.sin(psi)
+    X = np.stack(
+        [-cp * sg - sp * cg * sd, -cp * cg + sp * sg * sd, sp * cd * np.ones_like(gha)], axis=-1
     )
-    Y = jnp.stack(
-        [sp * sg - cp * cg * sd, sp * cg + cp * sg * sd, cp * cd], axis=-1
+    Y = np.stack(
+        [sp * sg - cp * cg * sd, sp * cg + cp * sg * sd, cp * cd * np.ones_like(gha)], axis=-1
     )
     return X, Y
 
@@ -85,21 +90,19 @@ def _polarization_basis(ra, dec, psi, gmst):
 def antenna_response(gps_time, ra, dec, psi, det: str = "H1"):
     """(F+, F×) for a detector at a GPS time — LAL ComputeDetAMResponse.
 
-    Scalar or batched ra/dec/psi/gps (broadcasting). Replaces
-    ``pylal.antenna.response`` (ref: gw_template_maker.py:612).
+    Scalar or batched ra/dec/psi/gps (numpy broadcasting; float64 host math).
+    Replaces ``pylal.antenna.response`` (ref: gw_template_maker.py:612).
     """
-    d = jnp.asarray(constants.detector_tensor(det))
+    d = constants.detector_tensor(det)
     gmst = gps_to_gmst(gps_time)
     X, Y = _polarization_basis(
-        jnp.asarray(ra, jnp.float64),
-        jnp.asarray(dec, jnp.float64),
-        jnp.asarray(psi, jnp.float64),
-        gmst,
+        np.asarray(ra, np.float64), np.asarray(dec, np.float64),
+        np.asarray(psi, np.float64), gmst,
     )
-    dX = jnp.einsum("ij,...j->...i", d, X)
-    dY = jnp.einsum("ij,...j->...i", d, Y)
-    fplus = jnp.sum(X * dX, axis=-1) - jnp.sum(Y * dY, axis=-1)
-    fcross = jnp.sum(X * dY, axis=-1) + jnp.sum(Y * dX, axis=-1)
+    dX = np.einsum("ij,...j->...i", d, X)
+    dY = np.einsum("ij,...j->...i", d, Y)
+    fplus = np.sum(X * dX, axis=-1) - np.sum(Y * dY, axis=-1)
+    fcross = np.sum(X * dY, axis=-1) + np.sum(Y * dX, axis=-1)
     return fplus, fcross
 
 
@@ -108,17 +111,17 @@ def time_delay_from_earth_center(gps_time, ra, dec, det: str = "H1"):
 
     Replaces ``lal.TimeDelayFromEarthCenter`` (ref: gw_template_maker.py:617):
     Δt = −(r_det · n̂_src)/c with n̂ the Earth-fixed unit vector toward the
-    source.
+    source. Host numpy float64 (see :func:`gps_to_gmst`).
     """
-    loc = jnp.asarray(constants.DETECTORS[det]["location"], jnp.float64)
+    loc = np.asarray(constants.DETECTORS[det]["location"], np.float64)
     gmst = gps_to_gmst(gps_time)
-    gha = gmst - jnp.asarray(ra, jnp.float64)
-    dec = jnp.asarray(dec, jnp.float64)
-    n = jnp.stack(
-        [jnp.cos(dec) * jnp.cos(-gha), jnp.cos(dec) * jnp.sin(-gha), jnp.sin(dec)],
+    gha = gmst - np.asarray(ra, np.float64)
+    dec = np.asarray(dec, np.float64)
+    n = np.stack(
+        [np.cos(dec) * np.cos(-gha), np.cos(dec) * np.sin(-gha), np.sin(dec) * np.ones_like(gha)],
         axis=-1,
     )
-    return -jnp.sum(loc * n, axis=-1) / constants.C_SI
+    return -np.sum(loc * n, axis=-1) / constants.C_SI
 
 
 def fd_time_shift_phase(phase: jnp.ndarray, dt_shift, T_obs: float) -> jnp.ndarray:
