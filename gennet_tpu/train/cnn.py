@@ -1,0 +1,129 @@
+"""Fused CNN point-estimator train step.
+
+Replaces the reference's CNN loop body (ref: bbhMahoGANy.py:1144-1233):
+random bank batch, noise augmentation of the first ``noise_frac`` of the
+batch with N(0, U(0,5)) (ref: :1160-1161), multi-output MSE on (mc, q) — all
+inside one jitted step with on-device RNG and optional psum data parallelism.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from gennet_tpu.train import losses as L
+
+
+@dataclass(frozen=True)
+class CNNConfig:
+    n_pix: int = 1024
+    batch_size: int = 8                 # per-device (ref pe_batch_size, :87)
+    lr: float = 9e-5                    # (ref: :98)
+    beta1: float = 0.5
+    noise_frac: float = 1.0 / 8.0       # noisy fraction (ref: :113)
+    noise_scale_max: float = 5.0        # N(0, U(0,5)) augmentation (ref: :1161)
+    max_normalize: bool = False         # burst workload normalizes by batch max
+                                        # (ref: burstMahoGANy.py:738)
+    npar: int = 2
+
+
+class CNNState(struct.PyTreeNode):
+    params: Any
+    stats: Any
+    opt: Any
+    step: jnp.ndarray
+
+
+def init_cnn(key: jax.Array, model, cfg: CNNConfig) -> CNNState:
+    x = jnp.zeros((1, cfg.n_pix, 1), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, x, train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", FrozenDict())
+    return CNNState(
+        params=params,
+        stats=stats,
+        opt=optax.adam(cfg.lr, b1=cfg.beta1).init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def cnn_step(state: CNNState, bank: jnp.ndarray, targets: jnp.ndarray, key: jax.Array,
+             *, model, cfg: CNNConfig, axis_name: str | None = None):
+    """One CNN PE iteration: gather batch → augment → MSE update.
+
+    bank: (N, n_pix) whitened templates; targets: (N, npar) = [mc, q].
+    """
+    B = cfg.batch_size
+    k_idx, k_scale, k_noise, k_drop = jax.random.split(key, 4)
+    psum = (lambda t: jax.lax.pmean(t, axis_name)) if axis_name else (lambda t: t)
+
+    idx = jax.random.randint(k_idx, (B,), 0, bank.shape[0])
+    x = bank[idx]
+    y = targets[idx]
+
+    # noise augmentation: one scale per batch, applied to the first
+    # noise_frac of samples (ref: :1160-1161)
+    n_noisy = int(B * cfg.noise_frac)
+    if n_noisy > 0:
+        scale = jax.random.uniform(k_scale, (), minval=0.0, maxval=cfg.noise_scale_max)
+        noise = scale * jax.random.normal(k_noise, (B, x.shape[1]), x.dtype)
+        mask = (jnp.arange(B) < n_noisy).astype(x.dtype)[:, None]
+        x = x + mask * noise
+
+    if cfg.max_normalize:
+        x = x / jnp.max(x)
+
+    x = x[..., None]
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.stats} if state.stats else {"params": params}
+        if state.stats:
+            pred, mut = model.apply(variables, x, train=True, rngs={"dropout": k_drop},
+                                    mutable=["batch_stats"])
+            new_stats = mut.get("batch_stats", state.stats)
+        else:
+            pred = model.apply(variables, x, train=True, rngs={"dropout": k_drop})
+            new_stats = state.stats
+        return L.mse_multi_output(pred, y), new_stats
+
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    grads = psum(grads)
+    upd, opt = optax.adam(cfg.lr, b1=cfg.beta1).update(grads, state.opt, state.params)
+    params = optax.apply_updates(state.params, upd)
+
+    new_state = CNNState(params=params, stats=new_stats, opt=opt, step=state.step + 1)
+    return new_state, {"pe_loss": psum(loss)}
+
+
+def make_cnn_step(model, cfg: CNNConfig, mesh=None):
+    """Jitted CNN step; with a mesh, shard_map data-parallel over 'data'."""
+    if mesh is None:
+        return jax.jit(partial(cnn_step, model=model, cfg=cfg))
+
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(state, bank, targets, key):
+        dev = jax.lax.axis_index("data")
+        key = jax.random.fold_in(key, dev)
+        return cnn_step(state, bank, targets, key, model=model, cfg=cfg, axis_name="data")
+
+    step = jax.shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def predict(model, state: CNNState, x: jnp.ndarray, key: jax.Array | None = None):
+    """Inference pass (dropout off except PermaDropout models, which require
+    a key)."""
+    rngs = {"dropout": key} if key is not None else None
+    variables = {"params": state.params, "batch_stats": state.stats} if state.stats else {"params": state.params}
+    return model.apply(variables, x[..., None] if x.ndim == 2 else x, train=False, rngs=rngs)

@@ -1,0 +1,174 @@
+"""Train-step tests: shapes, finiteness, determinism, and data-parallel
+equivalence on the virtual CPU mesh (SURVEY.md §4 multi-chip test story)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gennet_tpu.models import (
+    BBHGenerator,
+    BurstDiscriminator,
+    BurstGenerator,
+    BurstPE,
+    DualBranchPE,
+    PairDiscriminator,
+)
+from gennet_tpu.train import (
+    CNNConfig,
+    GANConfig,
+    init_cnn,
+    init_gan,
+    make_cnn_step,
+    make_gan_step,
+)
+from gennet_tpu.train import cnn as cnn_mod
+from gennet_tpu.train import gan as gan_mod
+from gennet_tpu.train.mesh import data_mesh
+from gennet_tpu.physics.burst import make_burst_bank
+
+
+N_PIX = 256  # small for CPU test speed
+
+
+@pytest.fixture(scope="module")
+def burst_setup():
+    cfg = GANConfig(
+        n_pix=N_PIX, batch_size=8, pair_discriminator=False,
+        residual_route=True, n_sig=0.25, lr=2e-4,
+    )
+    G = BurstGenerator(n_out=N_PIX)
+    D = BurstDiscriminator()
+    state = init_gan(jax.random.PRNGKey(0), G, D, cfg)
+    bank, pars = make_burst_bank(jax.random.PRNGKey(1), 64, N=N_PIX)
+    measured = bank[0] + 0.25 * jax.random.normal(jax.random.PRNGKey(2), (N_PIX,))
+    return cfg, G, D, state, bank, pars, measured
+
+
+def test_burst_gan_step_runs_and_updates(burst_setup):
+    cfg, G, D, state, bank, pars, measured = burst_setup
+    step = make_gan_step(G, D, cfg)
+    s1, m = step(state, bank, measured, jax.random.PRNGKey(3))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    # parameters actually moved
+    leaf0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    leaf1 = jax.tree_util.tree_leaves(s1.g_params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+    assert int(s1.step) == 1
+
+
+def test_gan_step_deterministic(burst_setup):
+    cfg, G, D, state, bank, pars, measured = burst_setup
+    step = make_gan_step(G, D, cfg)
+    s1, m1 = step(state, bank, measured, jax.random.PRNGKey(3))
+    s2, m2 = step(state, bank, measured, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(m1["g_loss"]), np.asarray(m2["g_loss"]))
+    l1 = jax.tree_util.tree_leaves(s1.g_params)[0]
+    l2 = jax.tree_util.tree_leaves(s2.g_params)[0]
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_gan_dp_single_device_mesh_matches_unsharded(burst_setup):
+    # shard_map wrapper on a 1-device mesh must reproduce the plain step
+    # exactly (bit-compared, SURVEY.md §4 multi-node replacement test)
+    cfg, G, D, state, bank, pars, measured = burst_setup
+    plain = make_gan_step(G, D, cfg)
+    mesh1 = data_mesh(1)
+    dp = make_gan_step(G, D, cfg, mesh=mesh1)
+    key = jax.random.PRNGKey(7)
+    s_a, m_a = plain(state, bank, measured, jax.random.fold_in(key, 0))
+    s_b, m_b = dp(state, bank, measured, key)
+    np.testing.assert_allclose(float(m_a["d_loss"]), float(m_b["d_loss"]), rtol=1e-6)
+    la = jax.tree_util.tree_leaves(s_a.d_params)[0]
+    lb = jax.tree_util.tree_leaves(s_b.d_params)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-7)
+
+
+def test_gan_dp_8_device_mesh(burst_setup):
+    cfg, G, D, state, bank, pars, measured = burst_setup
+    mesh = data_mesh(8)
+    dp = make_gan_step(G, D, cfg, mesh=mesh)
+    bank8 = jnp.tile(bank, (2, 1))  # 128 rows → 16 per device
+    s1, m = dp(state, bank8, measured, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["d_loss"]))
+    assert np.isfinite(float(m["g_loss"]))
+    # replicated state stays consistent across devices (psum'd grads)
+    leaf = jax.tree_util.tree_leaves(s1.g_params)[0]
+    assert not np.isnan(np.asarray(leaf)).any()
+
+
+def test_bbh_pair_gan_step():
+    cfg = GANConfig(n_pix=N_PIX, batch_size=4, pair_discriminator=True)
+    G = BBHGenerator(n_out=N_PIX, features=(32, 32, 32, 32, 32))
+    D = PairDiscriminator(features=(32, 64))
+    state = init_gan(jax.random.PRNGKey(0), G, D, cfg)
+    bank = jax.random.normal(jax.random.PRNGKey(1), (32, N_PIX))
+    measured = jax.random.normal(jax.random.PRNGKey(2), (N_PIX,))
+    step = make_gan_step(G, D, cfg)
+    s1, m = step(state, bank, measured, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    # batch_stats (G batchnorm) must update in the G train route
+    st0 = jax.tree_util.tree_leaves(state.g_stats)[0]
+    st1 = jax.tree_util.tree_leaves(s1.g_stats)[0]
+    assert not np.allclose(np.asarray(st0), np.asarray(st1))
+
+
+def test_generator_sampling_shapes():
+    cfg = GANConfig(n_pix=N_PIX, batch_size=4, pair_discriminator=False)
+    G = BurstGenerator(n_out=N_PIX)
+    D = BurstDiscriminator()
+    state = init_gan(jax.random.PRNGKey(0), G, D, cfg)
+    x = gan_mod.sample_generator(G, state, jax.random.PRNGKey(1), 17, cfg)
+    assert x.shape == (17, N_PIX)
+    assert not np.isnan(np.asarray(x)).any()
+
+
+def test_cnn_step_loss_decreases():
+    cfg = CNNConfig(n_pix=N_PIX, batch_size=32, lr=1e-3, noise_frac=0.0)
+    model = BurstPE()
+    state = init_cnn(jax.random.PRNGKey(0), model, cfg)
+    bank, pars = make_burst_bank(jax.random.PRNGKey(1), 256, N=N_PIX)
+    step = make_cnn_step(model, cfg)
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        state, m = step(state, bank, pars, sub)
+        losses.append(float(m["pe_loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < 0.5 * losses[0]
+
+
+def test_cnn_noise_augmentation_fraction():
+    # with noise_frac=1/8 and batch 8, exactly 1 sample gets noise:
+    # run two steps with huge noise scale and confirm loss is still finite
+    cfg = CNNConfig(n_pix=N_PIX, batch_size=8, noise_frac=1.0 / 8.0, noise_scale_max=5.0)
+    model = BurstPE()
+    state = init_cnn(jax.random.PRNGKey(0), model, cfg)
+    bank, pars = make_burst_bank(jax.random.PRNGKey(1), 64, N=N_PIX)
+    step = make_cnn_step(model, cfg)
+    state, m = step(state, bank, pars, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["pe_loss"]))
+
+
+def test_cnn_dp_mesh():
+    cfg = CNNConfig(n_pix=N_PIX, batch_size=4)
+    model = BurstPE()
+    state = init_cnn(jax.random.PRNGKey(0), model, cfg)
+    bank, pars = make_burst_bank(jax.random.PRNGKey(1), 64, N=N_PIX)
+    mesh = data_mesh(8)
+    step = make_cnn_step(model, cfg, mesh=mesh)
+    s1, m = step(state, bank, pars, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["pe_loss"]))
+
+
+def test_dualbranch_pe_output_range():
+    model = DualBranchPE()
+    cfg = CNNConfig(n_pix=1024, batch_size=2)
+    state = init_cnn(jax.random.PRNGKey(0), model, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 1024))
+    out = cnn_mod.predict(model, state, x)
+    assert out.shape == (4, 2)
+    # q head is clipped to [0, 1] (ReLU max_value=1, ref: bbhMahoGANy.py:400)
+    assert (np.asarray(out[:, 1]) >= 0).all() and (np.asarray(out[:, 1]) <= 1).all()
