@@ -1,0 +1,154 @@
+"""gennet-tpu CLI — make-bank / train-cnn / train-gan / smoke / sample-posterior.
+
+Replaces the reference's shell drivers + __main__ scripts (ref: runGAN.sh,
+gw_template_maker.py:743, bbhMahoGANy.py:959, burstMahoGANy.py:569) with one
+typed entry point; every flag maps to a dataclass field (SURVEY.md §5.6).
+"""
+
+import argparse
+import dataclasses
+import json
+
+import jax
+
+
+def _add_dataclass_args(parser, dc_type, skip=()):
+    for f in dataclasses.fields(dc_type):
+        if f.name in skip:
+            continue
+        arg = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=f.default)
+        elif f.default is None:
+            parser.add_argument(arg, type=str, default=None)
+        else:
+            parser.add_argument(arg, type=type(f.default), default=f.default)
+
+
+def _build_dataclass(args, dc_type):
+    names = {f.name for f in dataclasses.fields(dc_type)}
+    return dc_type(**{k: v for k, v in vars(args).items() if k in names})
+
+
+def _mesh(args):
+    if getattr(args, "data_parallel", False):
+        from gennet_tpu.train.mesh import data_mesh
+
+        return data_mesh()
+    return None
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="gennet-tpu",
+                                     description="TPU-native GAN-based GW parameter estimation")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_bank = sub.add_parser("make-bank", help="generate a whitened template bank")
+    p_bank.add_argument("-N", "--nsamp", type=int, default=50_000)
+    p_bank.add_argument("-f", "--fsample", type=int, default=1024)
+    p_bank.add_argument("-T", "--tobs", type=int, default=2)
+    p_bank.add_argument("-m", "--mdist", type=str, default="hunt_constrain")
+    p_bank.add_argument("-z", "--seed", type=int, default=1)
+    p_bank.add_argument("-b", "--basename", type=str, default="templates/bank.npz")
+    p_bank.add_argument("--beta", type=float, nargs=2, default=[0.45, 0.55])
+    p_bank.add_argument("--data-parallel", action="store_true")
+    p_bank.add_argument("--lalinf-dir", type=str, default=None)
+
+    from gennet_tpu.cli.workloads import BBHConfig, BurstSmokeConfig
+
+    p_smoke = sub.add_parser("smoke", help="sine-Gaussian burst smoke workload")
+    _add_dataclass_args(p_smoke, BurstSmokeConfig)
+    p_smoke.add_argument("--data-parallel", action="store_true")
+
+    for name, help_ in (("train-cnn", "train the CNN point estimator"),
+                        ("train-gan", "train the GAN waveform estimator"),
+                        ("train-bbh", "full flagship pipeline (CNN then GAN)")):
+        p = sub.add_parser(name, help=help_)
+        _add_dataclass_args(p, BBHConfig)
+        p.add_argument("--data-parallel", action="store_true")
+
+    p_samp = sub.add_parser("sample-posterior", help="draw posterior samples from trained models")
+    _add_dataclass_args(p_samp, BBHConfig)
+    p_samp.add_argument("--n-samples", type=int, default=4000)
+    p_samp.add_argument("--out", type=str, default="posterior.npz")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "make-bank":
+        import numpy as np
+
+        from gennet_tpu.data import lalinf_io, template_bank as tb
+        from gennet_tpu.physics import psd as psd_mod
+
+        cfg = tb.BankConfig(fs=args.fsample, T_obs=args.tobs, mdist=args.mdist,
+                            beta=tuple(args.beta))
+        norm = 1.0
+        if args.lalinf_dir:
+            prod = lalinf_io.load_event_products(args.lalinf_dir, fs=cfg.fs,
+                                                 T_safe=cfg.T_obs * cfg.safe)
+            psd, norm = prod["psd"], prod["norm_constant"]
+        else:
+            psd = psd_mod.analytic_advligo_psd(cfg.fs, cfg.T_obs * cfg.safe)
+        key = jax.random.PRNGKey(args.seed)
+        mesh = _mesh(args)
+        if mesh is not None:
+            n = args.nsamp - args.nsamp % mesh.shape["data"]
+            t, p = tb.make_bank_sharded(key, n, psd, mesh, cfg, norm)
+            t, p = np.asarray(t), {k: np.asarray(v) for k, v in p.items()}
+        else:
+            t, p = tb.make_bank(key, args.nsamp, psd, cfg, norm)
+        import os
+
+        os.makedirs(os.path.dirname(args.basename) or ".", exist_ok=True)
+        lalinf_io.save_bank_npz(args.basename, t, p)
+        print(json.dumps({"templates": int(t.shape[0]), "file": args.basename}))
+        return
+
+    if args.cmd == "smoke":
+        from gennet_tpu.cli.workloads import run_burst_smoke
+
+        out = run_burst_smoke(_build_dataclass(args, BurstSmokeConfig), mesh=_mesh(args))
+        print(json.dumps(out))
+        return
+
+    if args.cmd in ("train-cnn", "train-gan", "train-bbh"):
+        from gennet_tpu.cli.workloads import run_bbh
+
+        cfg = _build_dataclass(args, BBHConfig)
+        if args.cmd == "train-cnn":
+            cfg = dataclasses.replace(cfg, gan_iters=0)
+        if args.cmd == "train-gan":
+            cfg = dataclasses.replace(cfg, pe_iters=0, resume=True)
+        out = run_bbh(cfg, mesh=_mesh(args))
+        print(json.dumps(out))
+        return
+
+    if args.cmd == "sample-posterior":
+        import numpy as np
+
+        from gennet_tpu.cli.workloads import BBHConfig as _B
+        from gennet_tpu.models import BBHGenerator, DualBranchPE, PairDiscriminator
+        from gennet_tpu.train import CNNConfig, GANConfig, init_cnn, init_gan
+        from gennet_tpu.train.checkpoints import CheckpointManager
+        from gennet_tpu.train.cnn import predict as cnn_predict
+        from gennet_tpu.train.gan import sample_generator
+
+        cfg = _build_dataclass(args, _B)
+        gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size)
+        G, D = BBHGenerator(n_out=cfg.n_pix), PairDiscriminator()
+        gan_state = init_gan(jax.random.PRNGKey(0), G, D, gan_cfg)
+        gan_state, _ = CheckpointManager(f"{cfg.out_dir}/ckpt_gan").restore(gan_state)
+        pe_cfg = CNNConfig(n_pix=cfg.n_pix)
+        pe = DualBranchPE()
+        pe_state = init_cnn(jax.random.PRNGKey(1), pe, pe_cfg)
+        pe_state, _ = CheckpointManager(f"{cfg.out_dir}/ckpt_pe").restore(pe_state)
+        wf = sample_generator(G, gan_state, jax.random.PRNGKey(cfg.seed), args.n_samples, gan_cfg)
+        samples = np.asarray(cnn_predict(pe, pe_state, wf))
+        np.savez_compressed(args.out, samples=samples, waveforms=np.asarray(wf))
+        print(json.dumps({"samples": int(samples.shape[0]), "file": args.out}))
+        return
+
+
+if __name__ == "__main__":
+    main()

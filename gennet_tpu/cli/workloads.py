@@ -1,0 +1,297 @@
+"""End-to-end workloads — the reference's main() loops, rebuilt device-first.
+
+Two workloads:
+- :func:`run_burst_smoke` — the sine-Gaussian burst mahoGANy
+  (ref: tests/burstMahoGANy.py:569-901): analytic bank, exact grid
+  posterior, CNN PE, 3-loss GAN, posterior-vs-grid validation. No waveform
+  physics needed; CPU-capable; the smoke gate.
+- :func:`run_bbh` — the flagship GW150914 pipeline
+  (ref: BBH_version/bbhMahoGANy.py:959-1384): whitened IMR template bank,
+  measured event (synthetic twin or lalinference products when mounted),
+  CNN PE then GAN, posterior draws through the CNN, β-overlap tracking,
+  orbax checkpoints.
+
+Both run their hot loops as fused jitted steps with on-device RNG; the host
+only touches data at eval cadence.
+"""
+
+import os
+import time
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gennet_tpu.data import template_bank as tb
+from gennet_tpu.eval import grid_posterior as gp
+from gennet_tpu.eval import overlap as ov
+from gennet_tpu.models import (
+    BBHGenerator,
+    BurstDiscriminator,
+    BurstGenerator,
+    BurstPE,
+    DualBranchPE,
+    PairDiscriminator,
+)
+from gennet_tpu.physics import psd as psd_mod
+from gennet_tpu.physics.burst import make_burst_bank, sine_gaussian
+from gennet_tpu.train import (
+    CNNConfig,
+    GANConfig,
+    init_cnn,
+    init_gan,
+    make_cnn_step,
+    make_gan_step,
+)
+from gennet_tpu.train.cnn import predict as cnn_predict
+from gennet_tpu.train.gan import sample_generator
+from gennet_tpu.train.checkpoints import CheckpointManager, save_posterior_snapshot
+from gennet_tpu.train.metrics import MetricLogger
+
+
+@dataclass
+class BurstSmokeConfig:
+    """Smoke-workload config (ref defaults: burstMahoGANy.py:31-48)."""
+
+    n_pix: int = 512
+    n_signals: int = 50_000
+    n_sig: float = 0.25
+    batch_size: int = 64
+    gan_iters: int = 50_000
+    pe_iters: int = 1_000
+    lr: float = 2e-4
+    cadence: int = 100
+    pe_grain: int = 95
+    n_posterior: int = 1000
+    out_dir: str = "out/burst"
+    seed: int = 0
+    plots: bool = True
+
+
+def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
+    """Full burst mahoGANy; returns summary dict incl. final grid-overlap."""
+    key = jax.random.PRNGKey(cfg.seed)
+    k_bank, k_event, k_noise, key = jax.random.split(key, 4)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    log = MetricLogger(cfg.out_dir, "burst")
+
+    # training bank + fixed event (ref: :581,614-631)
+    bank, pars = make_burst_bank(k_bank, cfg.n_signals, N=cfg.n_pix)
+    signal = sine_gaussian(0.5, 1.0 / 25.0, N=cfg.n_pix)  # default pars event
+    measured = signal + cfg.n_sig * jax.random.normal(k_noise, signal.shape)
+    truth = (0.5, 1.0 / 25.0)
+
+    # exact grid posterior (ref: :716-726)
+    L, gx, gy = gp.burst_grid_posterior(measured, cfg.n_sig, cfg.pe_grain)
+
+    # ---- CNN PE (ref: :732-771) ----------------------------------------
+    pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
+                       noise_frac=0.0, max_normalize=True)
+    pe_model = BurstPE()
+    pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
+    pe_step = make_cnn_step(pe_model, pe_cfg, mesh=mesh)
+    for i in range(cfg.pe_iters):
+        key, sub = jax.random.split(key)
+        pe_state, m = pe_step(pe_state, bank, pars, sub)
+        if i % cfg.cadence == 0 and i > 0:
+            log.log(i, m)
+            print(log.status_line(i, m, log.steps_per_sec(i)))
+
+    # PE accuracy on the bank
+    est = np.asarray(cnn_predict(pe_model, pe_state, bank[:4000]))
+    rms = [float(np.mean((np.asarray(pars[:4000, k]) - est[:, k]) ** 2)) for k in range(2)]
+    pe_std = [float(np.mean(np.abs(np.asarray(pars[:4000, k]) - est[:, k]))) for k in range(2)]
+    print(f"Completed CNN PE  RMS: {rms[0]:f},{rms[1]:f}")
+
+    # ---- GAN (ref: :779-899) --------------------------------------------
+    gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
+                        n_sig=cfg.n_sig, pair_discriminator=False, residual_route=True)
+    G = BurstGenerator(n_out=cfg.n_pix)
+    D = BurstDiscriminator()
+    gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
+    gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
+
+    score = 0.0
+    for i in range(cfg.gan_iters):
+        key, sub = jax.random.split(key)
+        gan_state, m = gan_step_fn(gan_state, bank, measured, sub)
+        if i % cfg.cadence == 0 and i > 0:
+            log.log(i, m)
+            print(log.status_line(i, m, log.steps_per_sec(i)))
+            key, sub = jax.random.split(key)
+            wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg)
+            samples = np.asarray(cnn_predict(pe_model, pe_state, wf / jnp.max(wf)))
+            score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
+            log.log(i, {"grid_overlap": score})
+            if cfg.plots:
+                from gennet_tpu.eval import plots as P
+
+                P.plot_waveform_est(signal, measured, np.asarray(wf), cfg.out_dir, i)
+                P.plot_pe_samples(samples, truth, cfg.out_dir, i, grid=(L, gx, gy))
+                P.plot_losses(log.arrays(), cfg.out_dir)
+
+    log.close()
+    return {"rms": rms, "pe_std": pe_std, "grid_overlap": score}
+
+
+@dataclass
+class BBHConfig:
+    """Flagship workload config (ref defaults: bbhMahoGANy.py:83-113)."""
+
+    n_pix: int = 1024
+    training_num: int = 50_000
+    batch_size: int = 8
+    pe_batch_size: int = 8
+    gan_iters: int = 500_000
+    pe_iters: int = 500_000
+    lr: float = 9e-5
+    cadence: int = 100
+    pe_cadence: int = 1000
+    n_posterior: int = 4000
+    chi_loss: bool = False
+    n_sig: float = 1.0
+    cnn_noise_frac: float = 1.0 / 8.0
+    out_dir: str = "out/bbh"
+    ckpt_every: int = 5000
+    seed: int = 0
+    plots: bool = True
+    resume: bool = False
+    lalinf_dir: str | None = None       # lalinference products (optional)
+    bank_file: str | None = None        # pre-built bank npz (optional)
+
+
+def _prepare_bbh_data(cfg: BBHConfig, key):
+    """Bank + event + (optional) lalinference posterior, all device-resident."""
+    bank_cfg = tb.BankConfig()
+    lalinf_samples = None
+
+    if cfg.lalinf_dir:
+        from gennet_tpu.data import lalinf_io
+
+        prod = lalinf_io.load_event_products(cfg.lalinf_dir, fs=bank_cfg.fs,
+                                             T_safe=bank_cfg.T_obs * bank_cfg.safe)
+        psd = prod["psd"]
+        measured = jnp.asarray(prod["measured_whitened"])
+        signal = jnp.asarray(prod["signal_whitened"])
+        norm = float(prod["norm_constant"])
+        lalinf_samples = prod.get("posterior_mc_q")
+    else:
+        psd = psd_mod.analytic_advligo_psd(bank_cfg.fs, bank_cfg.T_obs * bank_cfg.safe)
+        k_ev, key = jax.random.split(key)
+        signal, measured, norm = tb.make_event(k_ev, psd, bank_cfg)
+        norm = float(norm)
+
+    if cfg.bank_file:
+        data = np.load(cfg.bank_file)
+        bank = jnp.asarray(data["templates"])
+        targets = jnp.asarray(np.stack([data["mc"], data["q"]], axis=-1))
+    else:
+        k_bank, key = jax.random.split(key)
+        templates, params = tb.make_bank(k_bank, cfg.training_num, psd, bank_cfg, norm)
+        # drop the event-twin last template from training, as the reference
+        # does when PE'ing the real event (ref: bbhMahoGANy.py:1033-1036)
+        bank = jnp.asarray(templates[:-1])
+        targets = jnp.asarray(np.stack([params["mc"][:-1], params["q"][:-1]], axis=-1))
+
+    truth = (30.0, 0.79)  # event-paper point values (ref: :1064)
+    return bank, targets, signal, measured, truth, lalinf_samples, key
+
+
+def run_bbh(cfg: BBHConfig, mesh=None):
+    """Flagship pipeline: CNN PE training then GAN training with posterior
+    validation. Returns summary dict (β vs lalinference when available)."""
+    key = jax.random.PRNGKey(cfg.seed)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    log = MetricLogger(cfg.out_dir, "bbh")
+
+    bank, targets, signal, measured, truth, lalinf_samples, key = _prepare_bbh_data(cfg, key)
+
+    # ---- CNN PE ---------------------------------------------------------
+    pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.pe_batch_size, lr=cfg.lr,
+                       noise_frac=cfg.cnn_noise_frac)
+    pe_model = DualBranchPE()
+    pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
+    pe_ckpt = CheckpointManager(os.path.join(cfg.out_dir, "ckpt_pe"))
+    if cfg.resume:
+        restored, _ = pe_ckpt.restore(pe_state)
+        if restored is not None:
+            pe_state = restored
+    pe_step = make_cnn_step(pe_model, pe_cfg, mesh=mesh)
+
+    start = int(pe_state.step)
+    for i in range(start, cfg.pe_iters):
+        key, sub = jax.random.split(key)
+        pe_state, m = pe_step(pe_state, bank, targets, sub)
+        if i % cfg.pe_cadence == 0 and i > 0:
+            log.log(i, m)
+            print(log.status_line(i, m, log.steps_per_sec(i)))
+            if cfg.plots:
+                from gennet_tpu.eval import plots as P
+
+                idx = np.random.default_rng(i).choice(bank.shape[0], 4000, replace=False)
+                est = np.asarray(cnn_predict(pe_model, pe_state, bank[idx]))
+                P.plot_pe_accuracy(np.asarray(targets)[idx], est, cfg.out_dir,
+                                   f"pe_accuracy{i:05d}.png")
+        if i % cfg.ckpt_every == 0 and i > 0:
+            pe_ckpt.save(i, pe_state)
+    if cfg.pe_iters > start:
+        pe_ckpt.save(cfg.pe_iters, pe_state)
+    print("Completed CNN PE")
+
+    # ---- GAN -------------------------------------------------------------
+    gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
+                        chi_loss=cfg.chi_loss, n_sig=cfg.n_sig, pair_discriminator=True)
+    G = BBHGenerator(n_out=cfg.n_pix)
+    D = PairDiscriminator()
+    gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
+    gan_ckpt = CheckpointManager(os.path.join(cfg.out_dir, "ckpt_gan"))
+    if cfg.resume:
+        restored, _ = gan_ckpt.restore(gan_state)
+        if restored is not None:
+            gan_state = restored
+    gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
+
+    beta_hist, beta_steps = [], []
+    start = int(gan_state.step)
+    for i in range(start, cfg.gan_iters):
+        key, sub = jax.random.split(key)
+        gan_state, m = gan_step_fn(gan_state, bank, measured, sub)
+        if i % cfg.cadence == 0 and i > 0:
+            log.log(i, m)
+            print(log.status_line(i, m, log.steps_per_sec(i)))
+
+            # posterior draw fully on-device: G samples → CNN (ref: :1330-1343)
+            key, sub = jax.random.split(key)
+            wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg)
+            samples = np.asarray(cnn_predict(pe_model, pe_state, wf))
+            save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"), i, samples)
+
+            if lalinf_samples is not None and samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
+                beta = ov.beta_overlap(samples, lalinf_samples)
+                beta_hist.append(beta)
+                beta_steps.append(i)
+                log.log(i, {"beta": beta})
+                print(f"beta result: {beta}")
+
+            if cfg.plots:
+                from gennet_tpu.eval import plots as P
+
+                wf_np = np.asarray(wf)
+                P.plot_waveform_est(signal, measured, wf_np, cfg.out_dir, i)
+                P.plot_waveform_est(signal, measured, wf_np, cfg.out_dir, i,
+                                    zoom=(450, 550))
+                P.plot_losses(log.arrays(), cfg.out_dir)
+                ref = None if lalinf_samples is None else np.asarray(lalinf_samples)
+                P.plot_pe_samples(samples, truth, cfg.out_dir, i, ref_samples=ref)
+                if beta_hist:
+                    P.plot_beta_history(beta_hist, beta_steps, cfg.out_dir)
+        if i % cfg.ckpt_every == 0 and i > 0:
+            gan_ckpt.save(i, gan_state)
+
+    gan_ckpt.save(max(cfg.gan_iters, 1), gan_state)
+    log.close()
+    return {
+        "beta": beta_hist[-1] if beta_hist else None,
+        "final_step": int(gan_state.step),
+    }

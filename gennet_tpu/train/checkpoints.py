@@ -1,0 +1,67 @@
+"""Checkpoint / resume via orbax.
+
+Replaces the reference's Keras HDF5 save/load flags (model.save every 5000
+CNN iters, save_weights every GAN cadence, do_old_model /
+do_only_old_pe_model resume flags; ref: bbhMahoGANy.py:101-103,1133-1142,
+1171-1173,1371-1375) with versioned orbax checkpoints of the FULL training
+state — parameters, batch stats, all optimizer states, step counter, and the
+RNG key, so resume is bit-exact (the reference's resume restarts optimizer
+moments and RNG from scratch).
+"""
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: save(state, step), restore latest or a step."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state: Any, extra: dict | None = None):
+        payload = {"state": state}
+        if extra:
+            payload["extra"] = extra
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def restore(self, abstract_state: Any, step: int | None = None, extra_abstract: dict | None = None):
+        """Restore into the structure of ``abstract_state`` (e.g. a freshly
+        init'd state). Returns (state, extra) or (None, None) if empty."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None, None
+        payload = {"state": abstract_state}
+        if extra_abstract:
+            payload["extra"] = extra_abstract
+        out = self._mgr.restore(step, args=ocp.args.StandardRestore(payload))
+        return out["state"], out.get("extra")
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_posterior_snapshot(directory: str, step: int, samples: np.ndarray):
+    """Posterior-sample snapshot per eval cadence, as npz (replaces the
+    reference's pickle dumps, ref: bbhMahoGANy.py:1379-1381)."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"posterior_samples_{step:05d}.npz")
+    np.savez_compressed(path, samples=np.asarray(samples))
+    return path
+
+
+def load_posterior_snapshot(path: str) -> np.ndarray:
+    return np.load(path)["samples"]
