@@ -113,6 +113,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
 
     score = 0.0
+    log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
     for i in range(cfg.gan_iters):
         key, sub = jax.random.split(key)
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub)
@@ -253,6 +254,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
 
     beta_hist, beta_steps = [], []
+    log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
     start = int(gan_state.step)
     for i in range(start, cfg.gan_iters):
         key, sub = jax.random.split(key)
