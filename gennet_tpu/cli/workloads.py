@@ -123,8 +123,11 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             key, sub = jax.random.split(key)
             wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg)
             samples = np.asarray(cnn_predict(pe_model, pe_state, wf / jnp.max(wf)))
-            score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
-            log.log(i, {"grid_overlap": score})
+            # degenerate-output guard (ref: bbhMahoGANy.py:1354-1355)
+            if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
+                score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
+                log.log(i, {"grid_overlap": score})
+                print(f"grid overlap: {score:.4f}")
             if cfg.plots:
                 from gennet_tpu.eval import plots as P
 

@@ -77,8 +77,16 @@ class BankConfig:
     def nf(self) -> int:
         return self.n_safe // 2 + 1
 
-    def freqs(self) -> np.ndarray:
-        return np.arange(self.nf) / (self.T_obs * self.safe)
+    @property
+    def nf_pad(self) -> int:
+        """Frequency bins padded to a lane multiple for the Pallas kernel;
+        padded bins carry amp == 0 (band-limited above Nyquist) so they
+        contribute exactly nothing."""
+        return ((self.nf + 127) // 128) * 128
+
+    def freqs(self, padded: bool = False) -> np.ndarray:
+        n = self.nf_pad if padded else self.nf
+        return np.arange(n) / (self.T_obs * self.safe)
 
     def beta_index_bounds(self) -> tuple:
         """convert_beta (ref: gw_template_maker.py:133-159): β fractions of
@@ -169,11 +177,14 @@ def _synthesize(m1, m2, idx, psd, cfg: BankConfig):
     the constant iDFT matrix — roll/window/crop all land in one matmul).
     """
     dtype = jnp.float32
-    freqs = jnp.asarray(cfg.freqs(), dtype)
+    use_pallas = jax.default_backend() == "tpu"
+    freqs = jnp.asarray(cfg.freqs(padded=use_pallas), dtype)
     N = cfg.n_safe
-    T_safe = float(cfg.T_obs * cfg.safe)
+    nf = cfg.nf
 
-    # FD waveform per template (vmapped over masses)
+    # FD waveform per template (vmapped over masses). On the Pallas path the
+    # grid is lane-padded past Nyquist; f_high band-limiting zeroes those
+    # bins' amplitude, so they are inert through the whole pipeline.
     amp, phase = jax.vmap(
         lambda a, b: waveform.imrphenomd_ampphase(
             freqs, a, b, dist_mpc=cfg.dist_mpc, f_low=cfg.f_low, f_high=cfg.fs / 2
@@ -184,23 +195,31 @@ def _synthesize(m1, m2, idx, psd, cfg: BankConfig):
     # offset; geocentre delay a phase ramp (ref C calls: :612,616-617)
     K, delta, tdelay, _, _ = _antenna_projection(cfg)
     gain = whiten.whitening_gain(jnp.asarray(psd, dtype), cfg.fs)
+    if gain.shape[0] < freqs.shape[0]:
+        gain = jnp.pad(gain, (0, freqs.shape[0] - gain.shape[0]))
     # ×fs converts the continuous-FT waveform (strain·s) to the discrete
     # rDFT convention, so the whitened template is in the same units as
     # unit-variance whitened noise — the σ=1 normalization the GAN assumes.
     # (The reference patched this convention mismatch empirically with its
     # hard-coded ×817.98 event scale, bbhMahoGANy.py:1028; here it is exact.)
-    amp = amp * (gain * K * cfg.fs)
+    amp = amp * (gain[: freqs.shape[0]] * K * cfg.fs)
     phase = phase + (delta + 2.0 * cfg.phi)
     phase = phase + 2.0 * jnp.pi * freqs * jnp.asarray(tdelay, dtype)
 
     # ---- pass A: localize the envelope peak near t=0 ------------------
     # (replaces ref_idx argmax over hp²+hc², ref: :521-528; the envelope of
     # the quadrature pair equals the antenna-projected envelope up to scale)
-    re = amp * jnp.cos(phase)
-    im = -amp * jnp.sin(phase)
     w = 2 * _PEAK_SEARCH
-    h_a = dft.irdft_slice(re, im, N, N - _PEAK_SEARCH, w)
-    q_a = dft.irdft_slice(-im, re, N, N - _PEAK_SEARCH, w)
+    if use_pallas:
+        from gennet_tpu.ops.phasor_dft import phasor_irdft_slice
+
+        h_a = phasor_irdft_slice(amp, phase, N, N - _PEAK_SEARCH, w)
+        q_a = phasor_irdft_slice(amp, phase + 0.5 * jnp.pi, N, N - _PEAK_SEARCH, w)
+    else:
+        re = amp[:, :nf] * jnp.cos(phase[:, :nf])
+        im = -amp[:, :nf] * jnp.sin(phase[:, :nf])
+        h_a = dft.irdft_slice(re, im, N, N - _PEAK_SEARCH, w)
+        q_a = dft.irdft_slice(-im, re, N, N - _PEAK_SEARCH, w)
     peak = jnp.argmax(h_a * h_a + q_a * q_a, axis=-1).astype(jnp.int32)
     peak = peak - _PEAK_SEARCH  # offset relative to t=0, in (−S, S)
 
@@ -210,14 +229,18 @@ def _synthesize(m1, m2, idx, psd, cfg: BankConfig):
     shift = idx.astype(jnp.int32) + jnp.int32(cfg.calibration_offset) - peak
     dt_shift = shift.astype(dtype) / cfg.fs
     phase = phase + 2.0 * jnp.pi * freqs * dt_shift[:, None]
-    re = amp * jnp.cos(phase)
-    im = -amp * jnp.sin(phase)
 
     # inverse-transform only the central second, with the aggressive centred
     # Tukey window (ref: :536-538,571) folded into the iDFT constants
     c0 = N // 2 - cfg.n_out // 2
     win = windows.centered_tukey_window_np(N, safe=cfg.safe)
     wslice = tuple(float(x) for x in win[c0 : c0 + cfg.n_out])
+    if use_pallas:
+        from gennet_tpu.ops.phasor_dft import phasor_irdft_slice
+
+        return phasor_irdft_slice(amp, phase, N, c0, cfg.n_out, weights=wslice)
+    re = amp[:, :nf] * jnp.cos(phase[:, :nf])
+    im = -amp[:, :nf] * jnp.sin(phase[:, :nf])
     return dft.irdft_slice(re, im, N, c0, cfg.n_out, weights=wslice)
 
 

@@ -14,10 +14,15 @@ import numpy as np
 
 
 def _scott_cov(samples: np.ndarray):
-    """Scott's-rule KDE covariance: cov(data) · n^(−2/(d+4))."""
+    """Scott's-rule KDE covariance: cov(data) · n^(−2/(d+4)), with a floor
+    on the diagonal so degenerate sample clouds (e.g. a collapsed generator
+    early in training — the reference guards this with its var≠0 check,
+    bbhMahoGANy.py:1354-1355) stay invertible."""
     d, n = samples.shape
     factor = n ** (-1.0 / (d + 4))
-    cov = np.cov(samples) * factor**2
+    cov = np.atleast_2d(np.cov(samples)) * factor**2
+    scale = max(np.trace(cov) / d, 1e-300)
+    cov = cov + np.eye(d) * max(1e-12 * scale, 1e-24)
     return cov
 
 

@@ -1,0 +1,113 @@
+"""Pallas TPU kernel: fused phasor → inverse real DFT.
+
+The template-bank hot path ends with h[b,t] = Σ_k A[b,k]·cos(Ψ[b,k])·C[k,t]
++ A[b,k]·sin(Ψ[b,k])·S[k,t] (h̃ = A e^{−iΨ}, C/S the inverse-rDFT constant
+tables, see :mod:`gennet_tpu.ops.dft`). Unfused, XLA materializes the
+(B, Nf) re/im phasor arrays in HBM (~134 MB each at bank batch sizes) and
+reads them back for the matmuls; this kernel computes the trig on the VPU
+per-tile in VMEM and feeds the MXU directly — the phasor never touches HBM.
+
+Tiling: grid (B/bm, T/bt, K/bk), K innermost so the output tile stays
+VMEM-resident across the reduction; A/Ψ tiles stream once per (i, j).
+Frequency-axis padding is the caller's job (pad amp with zeros — padded
+bins then contribute exactly 0 regardless of phase/table content).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _phasor_kernel(a_ref, p_ref, c_ref, s_ref, o_ref):
+    k = pl.program_id(2)
+    amp = a_ref[:]
+    ph = p_ref[:]
+    re = amp * jnp.cos(ph)
+    im = amp * jnp.sin(ph)
+    acc = jnp.dot(re, c_ref[:], preferred_element_type=jnp.float32) + jnp.dot(
+        im, s_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(k > 0)
+    def _():
+        o_ref[:] += acc
+
+
+@partial(jax.jit, static_argnames=("bm", "bk", "bt", "interpret"))
+def phasor_matmul(amp: jnp.ndarray, phase: jnp.ndarray, cos_t: jnp.ndarray, sin_t: jnp.ndarray,
+                  bm: int = 256, bk: int = 512, bt: int = 1024, interpret: bool = False):
+    """out[b,t] = Σ_k amp·cos(phase)·cos_t + amp·sin(phase)·sin_t.
+
+    Shapes: amp/phase (B, K); cos_t/sin_t (K, T); B % bm == K % bk ==
+    T % bt == 0 (pad K with zero-amp bins; see module docstring).
+    """
+    B, K = amp.shape
+    T = cos_t.shape[1]
+    assert B % bm == 0 and K % bk == 0 and T % bt == 0, (B, K, T, bm, bk, bt)
+
+    grid = (B // bm, T // bt, K // bk)
+    return pl.pallas_call(
+        _phasor_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bt), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bt), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bt), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * K * T,
+            bytes_accessed=4 * (2 * B * K + 2 * K * T + B * T),
+            transcendentals=2 * B * K * (T // bt),
+        ),
+        interpret=interpret,
+    )(amp, phase, cos_t, sin_t)
+
+
+def _pad_tables(cos_t: np.ndarray, sin_t: np.ndarray, k_pad: int):
+    K = cos_t.shape[0]
+    if K == k_pad:
+        return cos_t, sin_t
+    pad = ((0, k_pad - K), (0, 0))
+    return np.pad(cos_t, pad), np.pad(sin_t, pad)
+
+
+def phasor_irdft_slice(amp: jnp.ndarray, phase: jnp.ndarray, N: int, start: int, width: int,
+                       weights: tuple | None = None, interpret: bool = False) -> jnp.ndarray:
+    """Fused Pallas equivalent of
+    ``dft.irdft_slice(amp·cos(−Ψ), amp·sin(−Ψ)·(−1), …)`` for h̃ = A e^{−iΨ}:
+    inverse-transform onto output samples [start, start+width) mod N with
+    optional folded per-sample weights.
+
+    amp/phase: (B, Kp) where Kp ≥ N//2+1 is a multiple of the K tile
+    (extra rows must carry amp == 0).
+    """
+    from gennet_tpu.ops.dft import _irdft_slice_tables
+
+    B, Kp = amp.shape
+    cos_np, sin_np = _irdft_slice_tables(N, start, width, weights)
+    cos_np, sin_np = _pad_tables(cos_np, sin_np, Kp)
+
+    # tile sizes: rows 256 (or B), reduction 512 | Kp, output min(width, 1024)
+    bm = min(256, B)
+    bk = 512 if Kp % 512 == 0 else 128
+    bt = width if width <= 1024 else 1024
+    while width % bt:
+        bt //= 2
+    return phasor_matmul(
+        amp, phase, jnp.asarray(cos_np), jnp.asarray(sin_np),
+        bm=bm, bk=bk, bt=bt, interpret=interpret,
+    )
