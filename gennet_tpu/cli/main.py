@@ -101,7 +101,12 @@ def main(argv=None):
         import os
 
         os.makedirs(os.path.dirname(args.basename) or ".", exist_ok=True)
-        lalinf_io.save_bank_npz(args.basename, t, p)
+        if args.basename.endswith(".gntb"):
+            from gennet_tpu.data import bankstore
+
+            bankstore.write_bank(args.basename, t, p)
+        else:
+            lalinf_io.save_bank_npz(args.basename, t, p)
         print(json.dumps({"templates": int(t.shape[0]), "file": args.basename}))
         return
 

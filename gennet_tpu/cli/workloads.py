@@ -187,9 +187,16 @@ def _prepare_bbh_data(cfg: BBHConfig, key):
         norm = float(norm)
 
     if cfg.bank_file:
-        data = np.load(cfg.bank_file)
-        bank = jnp.asarray(data["templates"])
-        targets = jnp.asarray(np.stack([data["mc"], data["q"]], axis=-1))
+        if cfg.bank_file.endswith(".gntb"):
+            from gennet_tpu.data.bankstore import BankStore
+
+            with BankStore(cfg.bank_file) as store:
+                bank = jnp.asarray(store.templates)
+                targets = jnp.asarray(store.params[:, :2])  # (mc, q)
+        else:
+            data = np.load(cfg.bank_file)
+            bank = jnp.asarray(data["templates"])
+            targets = jnp.asarray(np.stack([data["mc"], data["q"]], axis=-1))
     else:
         k_bank, key = jax.random.split(key)
         templates, params = tb.make_bank(k_bank, cfg.training_num, psd, bank_cfg, norm)
