@@ -20,6 +20,10 @@ TARGET = 1e5  # templates/sec (BASELINE.json:5, v5e-8)
 
 
 def main():
+    from gennet_tpu import runtime
+
+    runtime.setup()
+
     from gennet_tpu.data import template_bank as tb
     from gennet_tpu.physics import psd as psd_mod
 

@@ -55,11 +55,15 @@ def main(argv=None):
     p_bank.add_argument("--data-parallel", action="store_true")
     p_bank.add_argument("--lalinf-dir", type=str, default=None)
 
-    from gennet_tpu.cli.workloads import BBHConfig, BurstSmokeConfig
+    from gennet_tpu.cli.workloads import BBHConfig, BlobToyConfig, BurstSmokeConfig
 
     p_smoke = sub.add_parser("smoke", help="sine-Gaussian burst smoke workload")
     _add_dataclass_args(p_smoke, BurstSmokeConfig)
     p_smoke.add_argument("--data-parallel", action="store_true")
+
+    p_blob = sub.add_parser("blob-toy", help="gen-1 blob-image toy (PE + MC-dropout + image GAN)")
+    _add_dataclass_args(p_blob, BlobToyConfig)
+    p_blob.add_argument("--data-parallel", action="store_true")
 
     for name, help_ in (("train-cnn", "train the CNN point estimator"),
                         ("train-gan", "train the GAN waveform estimator"),
@@ -74,6 +78,11 @@ def main(argv=None):
     p_samp.add_argument("--out", type=str, default="posterior.npz")
 
     args = parser.parse_args(argv)
+
+    from gennet_tpu import runtime
+
+    info = runtime.setup()
+    print(json.dumps({"runtime": info}))
 
     if args.cmd == "make-bank":
         import numpy as np
@@ -114,6 +123,13 @@ def main(argv=None):
         from gennet_tpu.cli.workloads import run_burst_smoke
 
         out = run_burst_smoke(_build_dataclass(args, BurstSmokeConfig), mesh=_mesh(args))
+        print(json.dumps(out))
+        return
+
+    if args.cmd == "blob-toy":
+        from gennet_tpu.cli.workloads import run_blob_toy
+
+        out = run_blob_toy(_build_dataclass(args, BlobToyConfig), mesh=_mesh(args))
         print(json.dumps(out))
         return
 

@@ -34,6 +34,7 @@ from gennet_tpu.models import (
     DualBranchPE,
     PairDiscriminator,
 )
+from gennet_tpu.physics import priors
 from gennet_tpu.physics import psd as psd_mod
 from gennet_tpu.physics.burst import make_burst_bank, sine_gaussian
 from gennet_tpu.train import (
@@ -140,6 +141,164 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
 
 
 @dataclass
+class BlobToyConfig:
+    """Gen-1 image-toy workload (ref: tests/ganymede.py:31-64,494-740)."""
+
+    n_pix: int = 28
+    n_signals: int = 10_000
+    n_sig: float = 0.3
+    batch_size: int = 64
+    pe_iters: int = 2_000
+    mc_pe_iters: int = 2_000
+    gan_iters: int = 2_000
+    n_mc_draws: int = 1000         # MC-dropout posterior draws (ref: :617-620)
+    rms_gate: float = 5e-4         # convergence gate (ref: :626)
+    lr: float = 2e-4
+    cadence: int = 200
+    out_dir: str = "out/blob"
+    seed: int = 0
+    plots: bool = True
+
+
+def run_blob_toy(cfg: BlobToyConfig, mesh=None):
+    """Blob-image workload: exact grid posterior, deterministic PE trained to
+    the RMS gate, MC-dropout PE posterior on the noisy event, image GAN.
+
+    Returns summary: pe RMS, MC-dropout posterior overlap vs grid, GAN
+    losses."""
+    import optax
+    from flax.core import FrozenDict
+
+    from gennet_tpu.models.image_models import (
+        ImageDiscriminator,
+        ImageGenerator,
+        ImageMCDropoutPE,
+        ImagePE,
+    )
+    from gennet_tpu.physics.blobs import blob_grid_posterior, make_blob_bank
+
+    key = jax.random.PRNGKey(cfg.seed)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    log = MetricLogger(cfg.out_dir, "blob")
+
+    k_bank, k_ev, k_noise, key = jax.random.split(key, 4)
+    bank, pars = make_blob_bank(k_bank, cfg.n_signals, cfg.n_pix)
+    signal = bank[0]
+    truth = np.asarray(pars[0])
+    noise = cfg.n_sig * jax.random.normal(k_noise, signal.shape)
+    measured = signal + noise
+    L, gx, gy = blob_grid_posterior(measured, cfg.n_sig, grain=cfg.n_pix)
+
+    bank4 = bank[..., None]
+    noisy_bank = bank4 + cfg.n_sig * jax.random.normal(k_ev, bank4.shape)
+
+    # ---- deterministic PE to the RMS convergence gate (ref: :626) -------
+    pe = ImagePE()
+    pe_vars = pe.init({"params": jax.random.PRNGKey(cfg.seed + 1)}, bank4[:1], train=False)
+    opt = optax.adam(cfg.lr, b1=0.5)
+    opt_state = opt.init(pe_vars["params"])
+
+    @jax.jit
+    def pe_step(params, opt_state, x, y):
+        def loss_fn(p):
+            pred = pe.apply({"params": p}, x, train=True)
+            return jnp.sum(jnp.mean((pred - y) ** 2, axis=0))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    params = pe_vars["params"]
+    rms = [1.0, 1.0]
+    for i in range(cfg.pe_iters):
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (cfg.batch_size,), 0, bank.shape[0])
+        params, opt_state, loss = pe_step(params, opt_state, bank4[idx], pars[idx])
+        if i % cfg.cadence == 0 and i > 0:
+            est = np.asarray(pe.apply({"params": params}, bank4[:2000], train=False))
+            rms = [float(np.mean((np.asarray(pars[:2000, k]) - est[:, k]) ** 2)) for k in range(2)]
+            log.log(i, {"pe_loss": float(loss), "rms0": rms[0], "rms1": rms[1]})
+            print(f"{i}: [PE loss: {float(loss):f}, RMS: {rms[0]:f},{rms[1]:f}]")
+            if max(rms) < cfg.rms_gate:  # the reference's while-gate
+                break
+
+    # ---- MC-dropout PE on noisy inputs + posterior draws ----------------
+    mc = ImageMCDropoutPE()
+    mc_vars = mc.init({"params": jax.random.PRNGKey(cfg.seed + 2),
+                       "dropout": jax.random.PRNGKey(0)}, bank4[:1], train=False)
+    mc_opt_state = opt.init(mc_vars["params"])
+
+    @jax.jit
+    def mc_step(params, opt_state, x, y, rng):
+        def loss_fn(p):
+            pred = mc.apply({"params": p}, x, train=True, rngs={"dropout": rng})
+            return jnp.sum(jnp.mean((pred - y) ** 2, axis=0))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    mc_params = mc_vars["params"]
+    for i in range(cfg.mc_pe_iters):
+        key, k_idx, k_drop = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (cfg.batch_size,), 0, bank.shape[0])
+        mc_params, mc_opt_state, mc_loss = mc_step(mc_params, mc_opt_state,
+                                                   noisy_bank[idx], pars[idx], k_drop)
+        if i % cfg.cadence == 0 and i > 0:
+            log.log(i, {"mc_pe_loss": float(mc_loss)})
+
+    # 1000 stochastic predictions of the single measured image (ref: :617-620)
+    @jax.jit
+    def mc_draw(rng):
+        return mc.apply({"params": mc_params}, measured[None, ..., None],
+                        train=False, rngs={"dropout": rng})[0]
+
+    draws = np.asarray(jax.vmap(mc_draw)(jax.random.split(key, cfg.n_mc_draws)))
+    mc_overlap = gp.grid_overlap_score(draws, np.asarray(L), gx, gy)
+    print(f"MC-dropout posterior grid overlap: {mc_overlap:.4f}")
+
+    # ---- image GAN (subtraction scheme on images) -----------------------
+    G = ImageGenerator(n_pix=cfg.n_pix)
+    D = ImageDiscriminator()
+    gan_cfg = GANConfig(n_pix=cfg.n_pix * cfg.n_pix, batch_size=cfg.batch_size,
+                        lr=cfg.lr, n_sig=cfg.n_sig, pair_discriminator=False,
+                        residual_route=True)
+    # image models take (B, n, n, 1); adapt via flatten wrappers
+    import flax.linen as nn
+
+    class FlatG(nn.Module):
+        @nn.compact
+        def __call__(self, z, train=False):
+            img = G(z, train=train)
+            return img.reshape((z.shape[0], -1, 1))
+
+    class FlatD(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            img = x.reshape((x.shape[0], cfg.n_pix, cfg.n_pix, 1))
+            return D(img, train=train)
+
+    flat_bank = bank.reshape(bank.shape[0], -1)
+    flat_measured = measured.reshape(-1)
+    gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 3), FlatG(), FlatD(), gan_cfg)
+    gstep = make_gan_step(FlatG(), FlatD(), gan_cfg, mesh=mesh)
+    gm = {}
+    for i in range(cfg.gan_iters):
+        key, sub = jax.random.split(key)
+        gan_state, gm = gstep(gan_state, flat_bank, flat_measured, sub)
+        if i % cfg.cadence == 0 and i > 0:
+            log.log(i, gm)
+            print(log.status_line(i, gm, log.steps_per_sec(i)))
+
+    log.close()
+    return {
+        "pe_rms": rms,
+        "mc_overlap": float(mc_overlap),
+        "gan_d_loss": float(gm.get("d_loss", np.nan)),
+    }
+
+
+@dataclass
 class BBHConfig:
     """Flagship workload config (ref defaults: bbhMahoGANy.py:83-113)."""
 
@@ -154,6 +313,7 @@ class BBHConfig:
     pe_cadence: int = 1000
     n_posterior: int = 4000
     chi_loss: bool = False
+    comb_pe_model: bool = False         # single-net PE variant (ref: :105)
     n_sig: float = 1.0
     cnn_noise_frac: float = 1.0 / 8.0
     out_dir: str = "out/bbh"
@@ -221,7 +381,22 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     # ---- CNN PE ---------------------------------------------------------
     pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.pe_batch_size, lr=cfg.lr,
                        noise_frac=cfg.cnn_noise_frac)
-    pe_model = DualBranchPE()
+    from gennet_tpu.models import CombinedPE
+
+    pe_model = CombinedPE() if cfg.comb_pe_model else DualBranchPE()
+
+    # CNN sanity-check set: ideal waveforms synthesized FROM the comparison
+    # posterior's own mass rows; the CNN's output cloud on these bounds its
+    # best achievable posterior (validation idiom #3, ref:
+    # lalinf_post_waveform_maker.py + bbhMahoGANy.py:1226-1231)
+    sanity_waveforms = None
+    if lalinf_samples is not None:
+        m1s, m2s = priors.mc_q_to_m1m2(
+            jnp.asarray(lalinf_samples[:, 0]), jnp.asarray(lalinf_samples[:, 1])
+        )
+        bank_cfg0 = tb.BankConfig()
+        psd0 = psd_mod.analytic_advligo_psd(bank_cfg0.fs, bank_cfg0.T_obs * bank_cfg0.safe)
+        sanity_waveforms = tb.make_templates_from_params(m1s, m2s, psd0, bank_cfg0)
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
     pe_ckpt = CheckpointManager(os.path.join(cfg.out_dir, "ckpt_pe"))
     if cfg.resume:
@@ -237,6 +412,14 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         if i % cfg.pe_cadence == 0 and i > 0:
             log.log(i, m)
             print(log.status_line(i, m, log.steps_per_sec(i)))
+            if sanity_waveforms is not None:
+                # CNN(ideal posterior waveforms) should reproduce the source
+                # posterior (ref: bbhMahoGANy.py:1226-1231)
+                sane = np.asarray(cnn_predict(pe_model, pe_state, sanity_waveforms))
+                if sane[:, 0].var() > 0 and sane[:, 1].var() > 0:
+                    b = ov.beta_overlap(sane, lalinf_samples)
+                    log.log(i, {"cnn_sanity_beta": b})
+                    print(f"CNN sanity-check beta: {b:.4f}")
             if cfg.plots:
                 from gennet_tpu.eval import plots as P
 

@@ -149,6 +149,61 @@ def make_template_batch(key: jax.Array, n: int, psd: jnp.ndarray, cfg: BankConfi
     return t_work, params
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_noise", "time_grid"))
+def make_noisy_template_batch(key: jax.Array, n: int, psd: jnp.ndarray,
+                              cfg: BankConfig = BankConfig(), norm_constant: float = 1.0,
+                              n_noise: int = 1, time_grid: int = 1):
+    """Bank variant with per-template noise realizations and/or a grid of
+    merger-time realizations per mass sample.
+
+    Mirrors the reference's ``Nnoise>0`` branch (ref: sim_data,
+    gw_template_maker.py:685-692 — whiten(signal + colored noise); in the
+    whitened domain that is exactly template + N(0,1)) and the
+    ``do_time_grid`` option (ref: :57,702-715 — ``N_time_grid`` random peak
+    placements per mass draw).
+
+    Returns (templates [(n·time_grid·n_noise), fs], params).
+    """
+    k_mass, k_idx, k_noise = jax.random.split(key, 3)
+    masses = priors.sample_masses(k_mass, n, mdist=cfg.mdist)
+    m1 = jnp.repeat(masses["m1"], time_grid)
+    m2 = jnp.repeat(masses["m2"], time_grid)
+    lo, hi = cfg.beta_index_bounds()
+    idx = jax.random.randint(k_idx, (n * time_grid,), lo, jnp.maximum(hi, lo + 1))
+    clean = _synthesize(m1, m2, idx, psd, cfg) * norm_constant
+
+    reps = jnp.tile(clean, (n_noise, 1))
+    if n_noise >= 1:
+        noise = jax.random.normal(k_noise, reps.shape, reps.dtype)
+        noisy = reps + noise
+    else:
+        noisy = reps
+    params = {
+        "m1": jnp.tile(m1, (n_noise,)), "m2": jnp.tile(m2, (n_noise,)),
+        "mc": jnp.tile(jnp.repeat(masses["mc"], time_grid), (n_noise,)),
+        "q": jnp.tile(jnp.repeat(masses["m2"] / masses["m1"], time_grid), (n_noise,)),
+        "idx": jnp.tile(idx, (n_noise,)),
+    }
+    return noisy, params
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def make_templates_from_params(m1: jnp.ndarray, m2: jnp.ndarray, psd: jnp.ndarray,
+                               cfg: BankConfig = BankConfig(), norm_constant: float = 1.0,
+                               idx: jnp.ndarray | None = None):
+    """Synthesize waveforms for GIVEN mass rows — the reference's
+    lalinf-posterior waveform maker (ref: lalinf_post_waveform_maker.py:
+    masses from posterior rows, :385-405,719-721), producing the
+    "CNN sanity check" set: feeding these ideal inputs to the CNN should
+    reproduce the source posterior (validation idiom #3, SURVEY.md §4).
+
+    Peaks default to the centre of the safe window.
+    """
+    if idx is None:
+        idx = jnp.full(m1.shape, cfg.n_safe // 2, jnp.int32)
+    return _synthesize(jnp.asarray(m1), jnp.asarray(m2), idx, psd, cfg) * norm_constant
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def make_event_template(psd: jnp.ndarray, cfg: BankConfig = BankConfig()):
     """The GW150914-like template: fixed masses (36, 29), peak at the centre

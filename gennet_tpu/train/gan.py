@@ -49,6 +49,16 @@ class GANConfig:
     latent_low: float = -1.0            # U(−1,1) latent (ref: :1247)
     latent_high: float = 1.0
     n_noise_real: int = 1               # noise realizations per sample (ref: :107)
+    d_sees_train_mode: bool = True      # D scores train-mode (dropout-on)
+                                        # fakes — the distribution G actually
+                                        # optimizes. The reference fed
+                                        # eval-mode G.predict output to D
+                                        # (ref: :1248) while training G in
+                                        # train mode, which opens a mode-
+                                        # mismatch cheat channel (G fools D
+                                        # only under dropout while its eval
+                                        # output collapses); False restores
+                                        # the reference behavior.
 
 
 class GANState(struct.PyTreeNode):
@@ -126,7 +136,12 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
 
     # ---------------- discriminator step --------------------------------
     z1 = jax.random.uniform(k[0], (B, cfg.latent_dim), minval=cfg.latent_low, maxval=cfg.latent_high)
-    x_fake, _ = _apply_g(generator, state.g_params, state.g_stats, z1, k[1], train=False)
+    if cfg.d_sees_train_mode:
+        # train-mode fake (dropout active), but without committing the BN
+        # stat update — the D step must not advance generator state
+        x_fake, _ = _apply_g(generator, state.g_params, state.g_stats, z1, k[1], train=True)
+    else:
+        x_fake, _ = _apply_g(generator, state.g_params, state.g_stats, z1, k[1], train=False)
     x_fake = x_fake.reshape(B, -1)
 
     ridx = jax.random.randint(k[2], (cfg.batch_size,), 0, bank.shape[0])
