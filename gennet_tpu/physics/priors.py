@@ -31,6 +31,45 @@ M_MAX_DEFAULT = 100.0
 _BUDGET = 512
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class BBHParams:
+    """One template's parameter record — the reference's ``bbhparams`` class
+    (ref: gw_template_maker.py:69-85 / bbhMahoGANy.py:129-144)."""
+
+    mc: float
+    M: float
+    eta: float
+    m1: float
+    m2: float
+    ra: float
+    dec: float
+    iota: float
+    phi: float
+    psi: float
+    idx: int
+    fmin: float | None = None
+    snr: float | None = None
+    SNR: float | None = None
+
+
+def sample_extrinsic(key: jax.Array, n: int):
+    """Random extrinsic parameters as the reference draws them before
+    pinning to GW150914 values (ref: gen_par, gw_template_maker.py:402-417):
+    iota = arccos U(−1,1), psi/phi/ra ~ U(0, 2π), dec = arcsin U(−1,1)."""
+    k = jax.random.split(key, 5)
+    two_pi = 2.0 * jnp.pi
+    return {
+        "iota": jnp.arccos(jax.random.uniform(k[0], (n,), minval=-1.0, maxval=1.0)),
+        "psi": two_pi * jax.random.uniform(k[1], (n,)),
+        "phi": two_pi * jax.random.uniform(k[2], (n,)),
+        "ra": two_pi * jax.random.uniform(k[3], (n,)),
+        "dec": jnp.arcsin(jax.random.uniform(k[4], (n,), minval=-1.0, maxval=1.0)),
+    }
+
+
 def chirp_mass_eta(m1: jnp.ndarray, m2: jnp.ndarray):
     """(mc, eta) from component masses."""
     M = m1 + m2

@@ -49,6 +49,13 @@ class GANConfig:
     latent_low: float = -1.0            # U(−1,1) latent (ref: :1247)
     latent_high: float = 1.0
     n_noise_real: int = 1               # noise realizations per sample (ref: :107)
+    d_instance_noise: float = 0.0       # σ of fresh noise added to BOTH real
+                                        # and fake D inputs (instance noise —
+                                        # blurs the trivial real/fake
+                                        # separation that stalls the burst
+                                        # scheme; natural value = n_sig, the
+                                        # measurement noise)
+    g_steps_per_iter: int = 1           # adversarial G updates per iteration
     d_sees_train_mode: bool = True      # D scores train-mode (dropout-on)
                                         # fakes — the distribution G actually
                                         # optimizes. The reference fed
@@ -147,6 +154,10 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
     ridx = jax.random.randint(k[2], (cfg.batch_size,), 0, bank.shape[0])
     real = jnp.tile(bank[ridx], (cfg.n_noise_real, 1))
     fake_in, real_in = _d_inputs(x_fake, real, measured, k[3], cfg)
+    if cfg.d_instance_noise > 0.0:
+        kn1, kn2 = jax.random.split(k[3])
+        real_in = real_in + cfg.d_instance_noise * jax.random.normal(kn1, real_in.shape, real_in.dtype)
+        fake_in = fake_in + cfg.d_instance_noise * jax.random.normal(kn2, fake_in.shape, fake_in.dtype)
 
     if cfg.label_smoothing:
         y_real = jax.random.uniform(k[4], (B,), minval=0.7, maxval=1.0)
@@ -185,28 +196,34 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
         g_params = optax.apply_updates(g_params, r_upd)
         g_stats = new_stats
 
-    # ---------------- generator adversarial step ------------------------
-    z3 = jax.random.uniform(k[8], (B, cfg.latent_dim), minval=cfg.latent_low, maxval=cfg.latent_high)
+    # ---------------- generator adversarial step(s) ---------------------
+    g_opt = state.g_opt
+    g_loss = jnp.zeros(())
+    g_acc = jnp.zeros(())
+    for s in range(max(1, cfg.g_steps_per_iter)):
+        kz = jax.random.fold_in(k[8], s)
+        kd_ = jax.random.fold_in(k[9], s)
+        z3 = jax.random.uniform(kz, (B, cfg.latent_dim), minval=cfg.latent_low, maxval=cfg.latent_high)
 
-    def g_loss_fn(gp):
-        x, new_stats = _apply_g(generator, gp, g_stats, z3, k[8], train=True)
-        xf = x.reshape(B, -1)
-        if cfg.pair_discriminator:
-            d_in = jnp.stack([xf, measured[None, :] - xf], axis=-1)
-        else:
-            d_in = x if x.ndim == 3 else xf[..., None]
-        logits = discriminator.apply({"params": d_params}, d_in, train=True, rngs={"dropout": k[9]})
-        if cfg.chi_loss:
-            loss = L.chisquare_loss(jax.nn.sigmoid(logits), 1.0, cfg.n_sig)
-        else:
-            loss = L.bce_with_logits(logits, 1.0)
-        acc = L.binary_accuracy(logits, 1.0)
-        return loss, (acc, new_stats)
+        def g_loss_fn(gp):
+            x, new_stats = _apply_g(generator, gp, g_stats, z3, kz, train=True)
+            xf = x.reshape(B, -1)
+            if cfg.pair_discriminator:
+                d_in = jnp.stack([xf, measured[None, :] - xf], axis=-1)
+            else:
+                d_in = x if x.ndim == 3 else xf[..., None]
+            logits = discriminator.apply({"params": d_params}, d_in, train=True, rngs={"dropout": kd_})
+            if cfg.chi_loss:
+                loss = L.chisquare_loss(jax.nn.sigmoid(logits), 1.0, cfg.n_sig)
+            else:
+                loss = L.bce_with_logits(logits, 1.0)
+            acc = L.binary_accuracy(logits, 1.0)
+            return loss, (acc, new_stats)
 
-    (g_loss, (g_acc, g_stats)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
-    g_grads = psum(g_grads)
-    g_upd, g_opt = _adam(cfg).update(g_grads, state.g_opt, g_params)
-    g_params = optax.apply_updates(g_params, g_upd)
+        (g_loss, (g_acc, g_stats)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(g_params)
+        g_grads = psum(g_grads)
+        g_upd, g_opt = _adam(cfg).update(g_grads, g_opt, g_params)
+        g_params = optax.apply_updates(g_params, g_upd)
 
     new_state = GANState(
         g_params=g_params, g_stats=g_stats, d_params=d_params,

@@ -164,3 +164,55 @@ def test_load_txt_waveforms(tmp_path):
     out = load_txt_waveforms(str(tmp_path / "wf*.txt"), n_out=512)
     assert out.shape == (3, 512)
     assert np.abs(out).max() <= 1.0 + 1e-6
+
+
+# ------------------------------------------------- denoiser/AE ablations
+def test_autoencoder_latent():
+    from gennet_tpu.train.denoise_variants import SignalAutoencoder, train_autoencoder
+    from gennet_tpu.physics.toys import sample_sinusoids
+    import jax
+
+    x = sample_sinusoids(jax.random.PRNGKey(0), 128)
+    ae = SignalAutoencoder(n_out=50, encoding_dim=10)
+    variables, loss = train_autoencoder(jax.random.PRNGKey(1), ae, x, epochs=30)
+    assert np.isfinite(loss)
+    z = ae.encode(variables, x[:4])
+    assert z.shape == (4, 10)
+    recon, _ = ae.apply(variables, x[:4])
+    assert recon.shape == (4, 50)
+
+
+def test_stark_denoiser_gan():
+    from gennet_tpu.train.denoise_variants import (
+        DenoiserGANConfig,
+        DenoiserGenerator,
+        init_denoiser_gan,
+        make_denoiser_gan_step,
+    )
+    from gennet_tpu.models import SoftmaxDiscriminator
+    from gennet_tpu.physics.toys import sample_sinusoids
+    import jax
+
+    cfg = DenoiserGANConfig(n_out=50, batch_size=16)
+    G, D = DenoiserGenerator(n_out=50), SoftmaxDiscriminator()
+    state = init_denoiser_gan(jax.random.PRNGKey(0), G, D, cfg)
+    x = sample_sinusoids(jax.random.PRNGKey(1), 16)
+    step = make_denoiser_gan_step(G, D, cfg)
+    for i in range(3):
+        state, m = step(state, x, jax.random.PRNGKey(2 + i))
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+
+
+def test_sample_extrinsic_ranges():
+    from gennet_tpu.physics.priors import sample_extrinsic
+    import jax
+
+    ext = sample_extrinsic(jax.random.PRNGKey(0), 512)
+    for k, lo, hi in (("iota", 0, np.pi), ("psi", 0, 2 * np.pi),
+                      ("phi", 0, 2 * np.pi), ("ra", 0, 2 * np.pi),
+                      ("dec", -np.pi / 2, np.pi / 2)):
+        v = np.asarray(ext[k])
+        assert v.min() >= lo - 1e-6 and v.max() <= hi + 1e-6, k
+    # isotropy: cos(iota) and sin(dec) uniform → means ~0
+    assert abs(np.cos(np.asarray(ext["iota"])).mean()) < 0.1
+    assert abs(np.sin(np.asarray(ext["dec"])).mean()) < 0.1
