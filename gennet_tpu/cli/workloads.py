@@ -267,16 +267,22 @@ def run_blob_toy(cfg: BlobToyConfig, mesh=None):
     import flax.linen as nn
 
     class FlatG(nn.Module):
+        inner: nn.Module = G
+        n_pix: int = cfg.n_pix
+
         @nn.compact
         def __call__(self, z, train=False):
-            img = G(z, train=train)
+            img = self.inner(z, train=train)
             return img.reshape((z.shape[0], -1, 1))
 
     class FlatD(nn.Module):
+        inner: nn.Module = D
+        n_pix: int = cfg.n_pix
+
         @nn.compact
         def __call__(self, x, train=False):
-            img = x.reshape((x.shape[0], cfg.n_pix, cfg.n_pix, 1))
-            return D(img, train=train)
+            img = x.reshape((x.shape[0], self.n_pix, self.n_pix, 1))
+            return self.inner(img, train=train)
 
     flat_bank = bank.reshape(bank.shape[0], -1)
     flat_measured = measured.reshape(-1)
