@@ -212,6 +212,30 @@ def ringdown_freqs(eta, chi1=0.0, chi2=0.0):
 # TaylorF2 — 3.5PN nonspinning SPA phasing + leading SO term
 # =====================================================================
 
+class _MfPowers:
+    """Fractional powers of Mf derived from one cbrt + sqrts — fractional
+    ``**`` lowers to exp/log pairs on the TPU VPU, and the amp/phase
+    assembly is transcendental-bound at bank batch sizes, so every power
+    here is built from cheap multiplies on a handful of roots."""
+
+    def __init__(self, Mf):
+        self.one = Mf
+        self.third = jnp.cbrt(Mf)                # Mf^{1/3}
+        self.two_thirds = self.third * self.third
+        self.four_thirds = Mf * self.third
+        self.five_thirds = Mf * self.two_thirds
+        self.two = Mf * Mf
+        self.seven_thirds = self.two * self.third
+        self.eight_thirds = self.two * self.two_thirds
+        self.three = self.two * Mf
+        self.half = jnp.sqrt(Mf)
+        self.quarter = jnp.sqrt(self.half)
+        self.three_quarters = self.half * self.quarter
+        self.sixth = jnp.sqrt(self.third)        # Mf^{1/6}
+        self.inv = 1.0 / Mf
+        self.m_seven_sixths = self.inv / self.sixth  # Mf^{−7/6}
+
+
 def _tf2_phasing(v, eta, logv, chi1=0.0, chi2=0.0):
     """Σ φ_k v^k of the 3.5PN TaylorF2 phasing (nonspinning complete;
     aligned-spin: leading 1.5PN spin-orbit only)."""
@@ -248,21 +272,24 @@ def _tf2_phasing(v, eta, logv, chi1=0.0, chi2=0.0):
     )
 
 
-def _tf2_phase(Mf, eta, chi1=0.0, chi2=0.0):
+def _tf2_phase(Mf, eta, chi1=0.0, chi2=0.0, P: "_MfPowers | None" = None):
     """Ψ_TF2(Mf) up to the free (t_c, φ_c) linear terms."""
-    v = (PI * Mf) ** (1.0 / 3.0)
+    P = P or _MfPowers(Mf)
+    v = PI ** (1.0 / 3.0) * P.third
     logv = jnp.log(v)
-    pre = 3.0 / (128.0 * eta * v**5)
+    v5 = PI ** (5.0 / 3.0) * P.five_thirds
+    pre = 3.0 / (128.0 * eta * v5)
     return pre * _tf2_phasing(v, eta, logv, chi1, chi2) - PI / 4.0
 
 
-def _amp_pn_series(Mf, eta, chi1=0.0, chi2=0.0):
+def _amp_pn_series(Mf, eta, chi1=0.0, chi2=0.0, P: "_MfPowers | None" = None):
     """PN amplitude series Â_PN(Mf) (3PN, nonspinning; leading SO at 1.5PN),
     normalized to 1 at leading order."""
+    P = P or _MfPowers(Mf)
     eta2 = eta * eta
     eta3 = eta2 * eta
     seta = jnp.sqrt(jnp.clip(1.0 - 4.0 * eta, 0.0, None))
-    v = (PI * Mf) ** (1.0 / 3.0)
+    v = PI ** (1.0 / 3.0) * P.third
     v2 = v * v
     v3 = v2 * v
     v4 = v2 * v2
@@ -329,12 +356,13 @@ def _chi_pn(eta, chi1, chi2):
     return chi_s * (1.0 - 76.0 * eta / 113.0) + seta * chi_a
 
 
-def _phase_inspiral(Mf, eta, c, chi1, chi2):
-    sig = (c["sigma1"] * Mf
-           + 0.75 * c["sigma2"] * Mf ** (4.0 / 3.0)
-           + 0.6 * c["sigma3"] * Mf ** (5.0 / 3.0)
-           + 0.5 * c["sigma4"] * Mf**2)
-    return _tf2_phase(Mf, eta, chi1, chi2) + sig / eta
+def _phase_inspiral(Mf, eta, c, chi1, chi2, P: "_MfPowers | None" = None):
+    P = P or _MfPowers(Mf)
+    sig = (c["sigma1"] * P.one
+           + 0.75 * c["sigma2"] * P.four_thirds
+           + 0.6 * c["sigma3"] * P.five_thirds
+           + 0.5 * c["sigma4"] * P.two)
+    return _tf2_phase(Mf, eta, chi1, chi2, P) + sig / eta
 
 
 def _dtf2_phase(Mf, eta, chi1=0.0, chi2=0.0):
@@ -377,19 +405,22 @@ def _dphase_inspiral(Mf, eta, c, chi1, chi2):
     return _dtf2_phase(Mf, eta, chi1, chi2) + dsig / eta
 
 
-def _phase_intermediate(Mf, eta, c):
-    return (c["beta1"] * Mf + c["beta2"] * jnp.log(Mf)
-            - c["beta3"] / 3.0 * Mf ** (-3.0)) / eta
+def _phase_intermediate(Mf, eta, c, P: "_MfPowers | None" = None):
+    P = P or _MfPowers(Mf)
+    inv3 = P.inv * P.inv * P.inv
+    return (c["beta1"] * P.one + c["beta2"] * jnp.log(Mf)
+            - c["beta3"] / 3.0 * inv3) / eta
 
 
 def _dphase_intermediate(Mf, eta, c):
     return (c["beta1"] + c["beta2"] / Mf + c["beta3"] * Mf ** (-4.0)) / eta
 
 
-def _phase_mr(Mf, eta, c, f_rd, f_damp):
-    return (c["alpha1"] * Mf
-            - c["alpha2"] / Mf
-            + 4.0 / 3.0 * c["alpha3"] * Mf**0.75
+def _phase_mr(Mf, eta, c, f_rd, f_damp, P: "_MfPowers | None" = None):
+    P = P or _MfPowers(Mf)
+    return (c["alpha1"] * P.one
+            - c["alpha2"] * P.inv
+            + 4.0 / 3.0 * c["alpha3"] * P.three_quarters
             + c["alpha4"] * jnp.arctan((Mf - c["alpha5"] * f_rd) / f_damp)) / eta
 
 
@@ -400,11 +431,12 @@ def _dphase_mr(Mf, eta, c, f_rd, f_damp):
             + c["alpha4"] * f_damp / (f_damp**2 + (Mf - c["alpha5"] * f_rd) ** 2)) / eta
 
 
-def _amp_inspiral(Mf, eta, c, chi1, chi2):
-    return (_amp_pn_series(Mf, eta, chi1, chi2)
-            + c["rho1"] * Mf ** (7.0 / 3.0)
-            + c["rho2"] * Mf ** (8.0 / 3.0)
-            + c["rho3"] * Mf**3)
+def _amp_inspiral(Mf, eta, c, chi1, chi2, P: "_MfPowers | None" = None):
+    P = P or _MfPowers(Mf)
+    return (_amp_pn_series(Mf, eta, chi1, chi2, P)
+            + c["rho1"] * P.seven_thirds
+            + c["rho2"] * P.eight_thirds
+            + c["rho3"] * P.three)
 
 
 def _damp_pn_series(Mf, eta, chi1=0.0, chi2=0.0):
@@ -522,6 +554,7 @@ def imrphenomd_ampphase(freqs, m1, m2, chi1=0.0, chi2=0.0,
     f_rd, f_damp = ringdown_freqs(eta, chi1, chi2)
 
     Mf = jnp.clip(freqs * m_sec, 1e-9, None)
+    Pw = _MfPowers(Mf)
 
     # ---- phase: three regions stitched C(1) -------------------------
     f1 = _F_PHASE_INS_END
@@ -544,11 +577,11 @@ def imrphenomd_ampphase(freqs, m1, m2, chi1=0.0, chi2=0.0,
 
     phase = jnp.where(
         Mf < f1,
-        _phase_inspiral(Mf, eta, c, chi1, chi2),
+        _phase_inspiral(Mf, eta, c, chi1, chi2, Pw),
         jnp.where(
             Mf < f2,
-            phi_int(Mf),
-            _phase_mr(Mf, eta, c, f_rd, f_damp) + c1_mrd + c2_mrd * Mf,
+            _phase_intermediate(Mf, eta, c, Pw) + c1_int + c2_int * Mf,
+            _phase_mr(Mf, eta, c, f_rd, f_damp, Pw) + c1_mrd + c2_mrd * Mf,
         ),
     )
 
@@ -585,14 +618,14 @@ def imrphenomd_ampphase(freqs, m1, m2, chi1=0.0, chi2=0.0,
 
     rel_amp = jnp.where(
         Mf < fa1,
-        _amp_inspiral(Mf, eta, c, chi1, chi2),
+        _amp_inspiral(Mf, eta, c, chi1, chi2, Pw),
         jnp.where(Mf < fa3, amp_intermediate(Mf), _amp_mr(Mf, c, f_rd, f_damp)),
     )
 
     amp0 = (constants.STRAIN_SCALE
             * jnp.sqrt(5.0 / 24.0) / PI ** (2.0 / 3.0) * jnp.sqrt(eta)
             * m_sec**2 / (dist_mpc * constants.MPC_SI / constants.C_SI))
-    amp = amp0 * Mf ** (-7.0 / 6.0) * rel_amp
+    amp = amp0 * Pw.m_seven_sixths * rel_amp
 
     # ---- band limit ---------------------------------------------------
     if f_high is None:
