@@ -65,6 +65,10 @@ class BurstSmokeConfig:
     cadence: int = 100
     pe_grain: int = 95
     n_posterior: int = 1000
+    label_smoothing: bool = True      # with instance noise, the pair that
+    instance_noise: float = -1.0      # stabilizes the scheme (measured on
+                                      # TPU: alone each collapses; together
+                                      # corr(gen, signal) ≈ 0.9). −1 → n_sig.
     out_dir: str = "out/burst"
     seed: int = 0
     plots: bool = True
@@ -106,8 +110,10 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     print(f"Completed CNN PE  RMS: {rms[0]:f},{rms[1]:f}")
 
     # ---- GAN (ref: :779-899) --------------------------------------------
+    inoise = cfg.n_sig if cfg.instance_noise < 0 else cfg.instance_noise
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
-                        n_sig=cfg.n_sig, pair_discriminator=False, residual_route=True)
+                        n_sig=cfg.n_sig, pair_discriminator=False, residual_route=True,
+                        label_smoothing=cfg.label_smoothing, d_instance_noise=inoise)
     G = BurstGenerator(n_out=cfg.n_pix)
     D = BurstDiscriminator()
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
@@ -320,6 +326,8 @@ class BBHConfig:
     n_posterior: int = 4000
     chi_loss: bool = False
     comb_pe_model: bool = False         # single-net PE variant (ref: :105)
+    label_smoothing: bool = True        # GAN stabilization pair (see burst)
+    instance_noise: float = -1.0        # −1 → n_sig
     n_sig: float = 1.0
     cnn_noise_frac: float = 1.0 / 8.0
     out_dir: str = "out/bbh"
@@ -440,8 +448,10 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     print("Completed CNN PE")
 
     # ---- GAN -------------------------------------------------------------
+    inoise = cfg.n_sig if cfg.instance_noise < 0 else cfg.instance_noise
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
-                        chi_loss=cfg.chi_loss, n_sig=cfg.n_sig, pair_discriminator=True)
+                        chi_loss=cfg.chi_loss, n_sig=cfg.n_sig, pair_discriminator=True,
+                        label_smoothing=cfg.label_smoothing, d_instance_noise=inoise)
     G = BBHGenerator(n_out=cfg.n_pix)
     D = PairDiscriminator()
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
