@@ -114,3 +114,23 @@ def test_posterior_snapshot_roundtrip(tmp_path):
     s = np.random.default_rng(0).normal(size=(100, 2))
     p = save_posterior_snapshot(str(tmp_path), 42, s)
     np.testing.assert_array_equal(load_posterior_snapshot(p), s)
+
+
+def test_whiteness_score_accepts_white_noise():
+    from gennet_tpu.eval.whiteness import whiteness_score
+
+    rng = np.random.default_rng(0)
+    white = rng.normal(size=(64, 1024))
+    s = whiteness_score(white)
+    assert s["overall"] > 0.9
+
+
+def test_whiteness_score_rejects_structured_residual():
+    from gennet_tpu.eval.whiteness import whiteness_score
+    from gennet_tpu.physics.burst import sine_gaussian
+
+    rng = np.random.default_rng(1)
+    leftover = np.asarray(sine_gaussian(0.5, 1 / 25.0, N=1024))
+    resid = rng.normal(size=(64, 1024)) + 3.0 * leftover[None, :]
+    s = whiteness_score(resid)
+    assert s["ljung_box_pass"] < 0.5
