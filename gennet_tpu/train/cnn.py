@@ -93,6 +93,8 @@ def cnn_step(state: CNNState, bank: jnp.ndarray, targets: jnp.ndarray, key: jax.
 
     (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     grads = psum(grads)
+    # keep replicated batch-norm stats consistent across the mesh
+    new_stats = psum(new_stats) if new_stats else new_stats
     upd, opt = optax.adam(cfg.lr, b1=cfg.beta1).update(grads, state.opt, state.params)
     params = optax.apply_updates(state.params, upd)
 

@@ -49,6 +49,8 @@ class GANConfig:
     latent_low: float = -1.0            # U(−1,1) latent (ref: :1247)
     latent_high: float = 1.0
     n_noise_real: int = 1               # noise realizations per sample (ref: :107)
+    d_lr_scale: float = 1.0             # discriminator LR multiplier (<1 slows
+                                        # D to prevent late-run overpowering)
     d_instance_noise: float = 0.0       # σ of fresh noise added to BOTH real
                                         # and fake D inputs (instance noise —
                                         # blurs the trivial real/fake
@@ -82,6 +84,10 @@ def _adam(cfg: GANConfig):
     return optax.adam(cfg.lr, b1=cfg.beta1)
 
 
+def _adam_d(cfg: GANConfig):
+    return optax.adam(cfg.lr * cfg.d_lr_scale, b1=cfg.beta1)
+
+
 def init_gan(key: jax.Array, generator, discriminator, cfg: GANConfig) -> GANState:
     """Initialize all parameter trees and the three optimizer states."""
     kg, kd = jax.random.split(key)
@@ -99,7 +105,7 @@ def init_gan(key: jax.Array, generator, discriminator, cfg: GANConfig) -> GANSta
         g_stats=g_stats,
         d_params=d_params,
         g_opt=_adam(cfg).init(g_params),
-        d_opt=_adam(cfg).init(d_params),
+        d_opt=_adam_d(cfg).init(d_params),
         g_res_opt=_adam(cfg).init(g_params),
         step=jnp.zeros((), jnp.int32),
     )
@@ -174,7 +180,7 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
 
     (d_loss, d_acc), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
     d_grads = psum(d_grads)
-    d_upd, d_opt = _adam(cfg).update(d_grads, state.d_opt, state.d_params)
+    d_upd, d_opt = _adam_d(cfg).update(d_grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, d_upd)
 
     g_params, g_stats = state.g_params, state.g_stats
@@ -224,6 +230,10 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
         g_grads = psum(g_grads)
         g_upd, g_opt = _adam(cfg).update(g_grads, g_opt, g_params)
         g_params = optax.apply_updates(g_params, g_upd)
+
+    # batch-norm running stats are computed from per-device batches — average
+    # them across the mesh so the replicated state stays consistent
+    g_stats = psum(g_stats) if g_stats else g_stats
 
     new_state = GANState(
         g_params=g_params, g_stats=g_stats, d_params=d_params,
