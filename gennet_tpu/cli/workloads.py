@@ -350,6 +350,7 @@ class BBHConfig:
     comb_pe_model: bool = False         # single-net PE variant (ref: :105)
     label_smoothing: bool = True        # GAN stabilization pair (see burst)
     instance_noise: float = -1.0        # −1 → n_sig
+    d_lr_scale: float = 0.5             # slow D for long-run stability
     n_sig: float = 1.0
     cnn_noise_frac: float = 1.0 / 8.0
     out_dir: str = "out/bbh"
@@ -473,7 +474,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     inoise = cfg.n_sig if cfg.instance_noise < 0 else cfg.instance_noise
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
                         chi_loss=cfg.chi_loss, n_sig=cfg.n_sig, pair_discriminator=True,
-                        label_smoothing=cfg.label_smoothing, d_instance_noise=inoise)
+                        label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
+                        d_lr_scale=cfg.d_lr_scale)
     G = BBHGenerator(n_out=cfg.n_pix)
     D = PairDiscriminator()
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)

@@ -144,7 +144,7 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
     Returns (new_state, metrics).
     """
     B = cfg.batch_size * cfg.n_noise_real
-    k = jax.random.split(key, 10)
+    k = jax.random.split(key, 14)
     psum = (lambda t: jax.lax.pmean(t, axis_name)) if axis_name else (lambda t: t)
 
     # ---------------- discriminator step --------------------------------
@@ -192,7 +192,7 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
         z2 = jax.random.uniform(k[7], (B, cfg.latent_dim), minval=cfg.latent_low, maxval=cfg.latent_high)
 
         def res_loss_fn(gp):
-            x, new_stats = _apply_g(generator, gp, g_stats, z2, k[7], train=True)
+            x, new_stats = _apply_g(generator, gp, g_stats, z2, k[10], train=True)
             resid = measured[None, :, None] - x
             return L.residual_moment_loss(resid, cfg.n_sig), new_stats
 
@@ -209,10 +209,11 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
     for s in range(max(1, cfg.g_steps_per_iter)):
         kz = jax.random.fold_in(k[8], s)
         kd_ = jax.random.fold_in(k[9], s)
+        kdrop = jax.random.fold_in(k[11], s)
         z3 = jax.random.uniform(kz, (B, cfg.latent_dim), minval=cfg.latent_low, maxval=cfg.latent_high)
 
         def g_loss_fn(gp):
-            x, new_stats = _apply_g(generator, gp, g_stats, z3, kz, train=True)
+            x, new_stats = _apply_g(generator, gp, g_stats, z3, kdrop, train=True)
             xf = x.reshape(B, -1)
             if cfg.pair_discriminator:
                 d_in = jnp.stack([xf, measured[None, :] - xf], axis=-1)
