@@ -150,12 +150,20 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
 
     # final posterior from the best-by-overlap state (GANs degrade late; the
     # reference kept whatever the last iteration produced)
+    whiteness = None
     if best_score >= 0:
         key, sub = jax.random.split(key)
         wf = sample_generator(G, best_state, sub, cfg.n_posterior, gan_cfg)
         samples = np.asarray(cnn_predict(pe_model, pe_state, wf / jnp.max(wf)))
         if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
             score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
+        # residual-whiteness gate (SURVEY idiom 4): h(t) − x_gen should be
+        # N(0, n_sig²) white
+        from gennet_tpu.eval.whiteness import whiteness_score
+
+        resid = (np.asarray(measured)[None, :] - np.asarray(wf)) / cfg.n_sig
+        whiteness = whiteness_score(resid, 1.0)
+        print(f"residual whiteness: {whiteness}")
         if cfg.plots:
             from gennet_tpu.eval import plots as P
 
@@ -165,7 +173,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                               grid=(L, gx, gy), fname="pe_samples_best.png")
 
     log.close()
-    return {"rms": rms, "pe_std": pe_std, "grid_overlap": max(score, best_score)}
+    return {"rms": rms, "pe_std": pe_std, "grid_overlap": max(score, best_score),
+            "whiteness": whiteness}
 
 
 @dataclass
@@ -525,8 +534,21 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             gan_ckpt.save(i, gan_state)
 
     gan_ckpt.save(max(cfg.gan_iters, 1), gan_state)
+
+    # residual-whiteness of the final generator's subtraction residuals
+    whiteness = None
+    if cfg.gan_iters > start:
+        key, sub = jax.random.split(key)
+        wf = sample_generator(G, gan_state, sub, min(cfg.n_posterior, 256), gan_cfg)
+        from gennet_tpu.eval.whiteness import whiteness_score
+
+        resid = np.asarray(measured)[None, :] - np.asarray(wf)
+        whiteness = whiteness_score(resid, cfg.n_sig)
+        print(f"residual whiteness: {whiteness}")
+
     log.close()
     return {
         "beta": beta_hist[-1] if beta_hist else None,
         "final_step": int(gan_state.step),
+        "whiteness": whiteness,
     }
