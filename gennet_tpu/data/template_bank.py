@@ -330,7 +330,9 @@ def make_bank(key: jax.Array, n_total: int, psd: jnp.ndarray, cfg: BankConfig = 
     while done < n_rand:
         key, sub = jax.random.split(key)
         m = min(batch, n_rand - done)
-        t, p = make_template_batch(sub, m, psd, cfg, norm_constant)
+        # always synthesize a full batch (one compiled program, tile-aligned
+        # for the Pallas kernel) and trim host-side
+        t, p = make_template_batch(sub, batch, psd, cfg, norm_constant)
         chunks.append(np.asarray(t[:m]))
         parts.append({k: np.asarray(v[:m]) for k, v in p.items()})
         done += m

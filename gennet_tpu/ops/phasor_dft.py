@@ -103,11 +103,17 @@ def phasor_irdft_slice(amp: jnp.ndarray, phase: jnp.ndarray, N: int, start: int,
 
     # tile sizes: rows 256 (or B), reduction 512 | Kp, output min(width, 1024)
     bm = min(256, B)
+    b_pad = ((B + bm - 1) // bm) * bm
+    if b_pad != B:  # row-pad to the tile size (padded rows are discarded)
+        pad = ((0, b_pad - B), (0, 0))
+        amp = jnp.pad(amp, pad)
+        phase = jnp.pad(phase, pad)
     bk = 512 if Kp % 512 == 0 else 128
     bt = width if width <= 1024 else 1024
     while width % bt:
         bt //= 2
-    return phasor_matmul(
+    out = phasor_matmul(
         amp, phase, jnp.asarray(cos_np), jnp.asarray(sin_np),
         bm=bm, bk=bk, bt=bt, interpret=interpret,
     )
+    return out[:B]

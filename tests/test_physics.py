@@ -352,3 +352,23 @@ def test_phenomd_vmap_bank():
     assert amp.shape == (3, 2049)
     assert not np.isnan(np.asarray(amp)).any()
     assert not np.isnan(np.asarray(phase)).any()
+
+
+def test_snr_consistency_fd_td():
+    # optimal SNR from the FD amplitude equals the whitened-domain norm
+    from gennet_tpu.physics import snr
+    from gennet_tpu.data import template_bank as tb
+    from gennet_tpu.physics import psd as psd_mod
+    from gennet_tpu.physics import waveform as wf
+    from gennet_tpu.physics import whiten as wh
+
+    cfg = tb.BankConfig()
+    p = psd_mod.analytic_advligo_psd(cfg.fs, cfg.T_obs * cfg.safe)
+    f = jnp.asarray(cfg.freqs())
+    amp, _ = wf.imrphenomd_ampphase(f, 36.0, 29.0, f_high=cfg.fs / 2)
+    rho_fd = float(snr.optimal_snr_fd(amp, p, cfg.T_obs * cfg.safe))
+    # TD: whitened event template norm (window/crop trims a little energy)
+    ev = tb.make_event_template(p, cfg)
+    rho_td = float(snr.whitened_snr(ev))
+    assert 20 < rho_fd < 150
+    assert abs(rho_td - rho_fd) / rho_fd < 0.15
