@@ -366,7 +366,8 @@ def test_snr_consistency_fd_td():
     p = psd_mod.analytic_advligo_psd(cfg.fs, cfg.T_obs * cfg.safe)
     f = jnp.asarray(cfg.freqs())
     amp, _ = wf.imrphenomd_ampphase(f, 36.0, 29.0, f_high=cfg.fs / 2)
-    rho_fd = float(snr.optimal_snr_fd(amp, p, cfg.T_obs * cfg.safe))
+    K, _, _, _, _ = tb._antenna_projection(cfg)  # detector projection scale
+    rho_fd = float(snr.optimal_snr_fd(amp, p, cfg.T_obs * cfg.safe)) * K
     # TD: whitened event template norm (window/crop trims a little energy)
     ev = tb.make_event_template(p, cfg)
     rho_td = float(snr.whitened_snr(ev))
