@@ -123,9 +123,21 @@ def make_cnn_step(model, cfg: CNNConfig, mesh=None):
     return jax.jit(step)
 
 
-def predict(model, state: CNNState, x: jnp.ndarray, key: jax.Array | None = None):
-    """Inference pass (dropout off except PermaDropout models, which require
-    a key)."""
+def predict(model, state: CNNState, x: jnp.ndarray, key: jax.Array | None = None,
+            chunk: int = 512):
+    """Chunked inference pass (dropout off except PermaDropout models, which
+    require a key). Chunking bounds activation memory for large evaluation
+    sets (the PE nets carry 1024-channel conv activations)."""
     rngs = {"dropout": key} if key is not None else None
     variables = {"params": state.params, "batch_stats": state.stats} if state.stats else {"params": state.params}
-    return model.apply(variables, x[..., None] if x.ndim == 2 else x, train=False, rngs=rngs)
+    x = x[..., None] if x.ndim == 2 else x
+    n = x.shape[0]
+    if n <= chunk:
+        return model.apply(variables, x, train=False, rngs=rngs)
+    outs = []
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+    for i in range(0, x.shape[0], chunk):
+        outs.append(model.apply(variables, x[i : i + chunk], train=False, rngs=rngs))
+    return jnp.concatenate(outs, axis=0)[:n]

@@ -282,9 +282,22 @@ def make_gan_step(generator, discriminator, cfg: GANConfig, mesh=None):
     return jax.jit(step)
 
 
-def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GANConfig):
+def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GANConfig,
+                     chunk: int = 256):
     """Draw n waveform estimates from the trained generator (inference mode,
-    as the reference's generator.predict posterior draws, ref: :1330-1331)."""
-    z = jax.random.uniform(key, (n, cfg.latent_dim), minval=cfg.latent_low, maxval=cfg.latent_high)
-    x, _ = _apply_g(generator, state.g_params, state.g_stats, z, key, train=False)
-    return x.reshape(n, -1)
+    as the reference's generator.predict posterior draws, ref: :1330-1331).
+
+    Chunked so large posterior draws (4000 samples through a generator with
+    1024-channel activations) never exceed HBM — Keras predict auto-batched;
+    here chunks reuse one compiled program of static shape.
+    """
+    outs = []
+    done = 0
+    while done < n:
+        key, sub = jax.random.split(key)
+        z = jax.random.uniform(sub, (chunk, cfg.latent_dim),
+                               minval=cfg.latent_low, maxval=cfg.latent_high)
+        x, _ = _apply_g(generator, state.g_params, state.g_stats, z, sub, train=False)
+        outs.append(x.reshape(chunk, -1))
+        done += chunk
+    return jnp.concatenate(outs, axis=0)[:n]
