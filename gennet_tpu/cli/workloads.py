@@ -16,8 +16,7 @@ only touches data at eval cadence.
 """
 
 import os
-import time
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -204,7 +203,6 @@ def run_blob_toy(cfg: BlobToyConfig, mesh=None):
     Returns summary: pe RMS, MC-dropout posterior overlap vs grid, GAN
     losses."""
     import optax
-    from flax.core import FrozenDict
 
     from gennet_tpu.models.image_models import (
         ImageDiscriminator,

@@ -20,7 +20,6 @@ import numpy as np
 
 from gennet_tpu.physics import priors
 from gennet_tpu.physics.constants import STRAIN_SCALE
-from gennet_tpu.physics.windows import tukey_np
 
 
 def load_freq_data(path: str) -> np.ndarray:

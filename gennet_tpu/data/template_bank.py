@@ -32,7 +32,7 @@ time shift that was computed-then-discarded (ref: :626-630) is an exact FD
 phase ramp, actually applied.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gennet_tpu.ops import dft
-from gennet_tpu.physics import constants, detector, priors, psd as psd_mod, waveform, whiten, windows
+from gennet_tpu.physics import constants, detector, priors, waveform, whiten, windows
 
 
 @dataclass(frozen=True)
@@ -118,14 +118,6 @@ def _antenna_projection(cfg: BankConfig):
     K = float(np.hypot(a_p, a_c))
     delta = float(np.arctan2(a_c, a_p))
     return K, delta, tdelay, a_p, a_c
-
-
-def _roll_rows(x: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
-    """Per-row circular roll: out[b, t] = x[b, (t − shift_b) mod N]."""
-    N = x.shape[-1]
-    t = jnp.arange(N, dtype=jnp.int32)
-    idx = jnp.mod(t[None, :] - shift[:, None], N)
-    return jnp.take_along_axis(x, idx, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n"))
@@ -363,7 +355,7 @@ def make_bank_sharded(key: jax.Array, n_total: int, psd: jnp.ndarray, mesh,
     training or all_gather for writing). ``n_total`` must divide by the mesh
     size.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.shape["data"]
     assert n_total % n_dev == 0, "n_total must be divisible by mesh data axis"

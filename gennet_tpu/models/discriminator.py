@@ -2,7 +2,6 @@
 
 from typing import Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from gennet_tpu.models.layers import activation

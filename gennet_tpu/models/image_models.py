@@ -5,8 +5,6 @@ n_pix×n_pix greyscale images, a conv PE net, and its MC-dropout variant (the
 1-D MC-dropout PE lives in cnn_pe.MCDropoutPE; this is the 2-D original).
 """
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -12,7 +12,6 @@ moments and RNG from scratch).
 import os
 from typing import Any
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
