@@ -475,7 +475,14 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             pe_ckpt.save(i, pe_state)
     if cfg.pe_iters > start:
         pe_ckpt.save(cfg.pe_iters, pe_state)
-    print("Completed CNN PE")
+    # final CNN accuracy: RMS + mean-|err| per parameter on a held-out draw
+    # (the reference's rms/pe_std prints, ref: bbhMahoGANy.py:1188-1198)
+    idx = np.random.default_rng(0).choice(bank.shape[0], min(4000, bank.shape[0]), replace=False)
+    est = np.asarray(cnn_predict(pe_model, pe_state, bank[idx]))
+    tgt = np.asarray(targets)[idx]
+    pe_rms = [float(np.mean((tgt[:, k] - est[:, k]) ** 2)) for k in range(2)]
+    pe_std = [float(np.mean(np.abs(tgt[:, k] - est[:, k]))) for k in range(2)]
+    print(f"Completed CNN PE  RMS: {pe_rms[0]:f},{pe_rms[1]:f}  pe_std: {pe_std[0]:f},{pe_std[1]:f}")
 
     # ---- GAN -------------------------------------------------------------
     inoise = cfg.n_sig if cfg.instance_noise < 0 else cfg.instance_noise
@@ -549,4 +556,6 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         "beta": beta_hist[-1] if beta_hist else None,
         "final_step": int(gan_state.step),
         "whiteness": whiteness,
+        "pe_rms": pe_rms,
+        "pe_std": pe_std,
     }
