@@ -36,6 +36,7 @@ class MetricLogger:
             self.history[k].append(v)
         if self._fh:
             self._fh.write(json.dumps(row) + "\n")
+            self._fh.flush()
 
     def steps_per_sec(self, step: int) -> float:
         now = time.perf_counter()
