@@ -507,6 +507,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
 
     beta_hist, beta_steps = [], []
+    best_white, best_state = -1.0, gan_state
     log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
     start = int(gan_state.step)
     for i in range(start, cfg.gan_iters):
@@ -521,6 +522,18 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg)
             samples = np.asarray(cnn_predict(pe_model, pe_state, wf))
             save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"), i, samples)
+
+            # best-state selection by residual whiteness — the method's own
+            # objective (h(t) − x_gen ~ N(0, n_sig²) white), usable with or
+            # without a comparison posterior
+            from gennet_tpu.eval.whiteness import whiteness_score
+
+            resid = np.asarray(measured)[None, :] - np.asarray(wf[:128])
+            ws = whiteness_score(resid, cfg.n_sig)
+            w_score = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
+            log.log(i, {"whiteness": w_score})
+            if w_score > best_white:
+                best_white, best_state = w_score, gan_state
 
             if lalinf_samples is not None and samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
                 beta = ov.beta_overlap(samples, lalinf_samples)
@@ -546,16 +559,28 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     gan_ckpt.save(max(cfg.gan_iters, 1), gan_state)
 
-    # residual-whiteness of the final generator's subtraction residuals
+    # final artifacts from the BEST-whiteness state (GANs oscillate late)
     whiteness = None
-    if cfg.gan_iters > start:
+    if cfg.gan_iters > start and best_white >= 0:
+        gan_ckpt.save(cfg.gan_iters + 1, best_state)  # persist the best state
         key, sub = jax.random.split(key)
-        wf = sample_generator(G, gan_state, sub, min(cfg.n_posterior, 256), gan_cfg)
+        wf = sample_generator(G, best_state, sub, cfg.n_posterior, gan_cfg)
+        samples = np.asarray(cnn_predict(pe_model, pe_state, wf))
+        save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"),
+                                cfg.gan_iters + 1, samples)
         from gennet_tpu.eval.whiteness import whiteness_score
 
-        resid = np.asarray(measured)[None, :] - np.asarray(wf)
+        resid = np.asarray(measured)[None, :] - np.asarray(wf[:256])
         whiteness = whiteness_score(resid, cfg.n_sig)
-        print(f"residual whiteness: {whiteness}")
+        print(f"best-state residual whiteness: {whiteness}")
+        if cfg.plots:
+            from gennet_tpu.eval import plots as P
+
+            P.plot_waveform_est(signal, measured, np.asarray(wf), cfg.out_dir,
+                                cfg.gan_iters, fname="waveform_best.png")
+            ref = None if lalinf_samples is None else np.asarray(lalinf_samples)
+            P.plot_pe_samples(samples, truth, cfg.out_dir, cfg.gan_iters,
+                              ref_samples=ref, fname="pe_samples_best.png")
 
     log.close()
     return {
