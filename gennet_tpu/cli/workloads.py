@@ -355,6 +355,13 @@ class BBHConfig:
     n_posterior: int = 4000
     chi_loss: bool = False
     comb_pe_model: bool = False         # single-net PE variant (ref: :105)
+    posterior_dropout: bool = True      # MC-dropout posterior sampling: keep
+                                        # generator dropout active in draws
+                                        # (the method lineage's variational
+                                        # sampler, ref: ganymede PermaDropout
+                                        # :617-620) — restores the posterior
+                                        # dispersion that latent variation
+                                        # alone under-represents
     label_smoothing: bool = True        # GAN stabilization pair (see burst)
     instance_noise: float = 0.3         # TPU-measured optimum for the pair
                                         # scheme: at n_sig(=1.0) the residual
@@ -519,7 +526,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
             # posterior draw fully on-device: G samples → CNN (ref: :1330-1343)
             key, sub = jax.random.split(key)
-            wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg)
+            wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg,
+                                  dropout=cfg.posterior_dropout)
             samples = np.asarray(cnn_predict(pe_model, pe_state, wf))
             save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"), i, samples)
 
@@ -564,7 +572,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     if cfg.gan_iters > start and best_white >= 0:
         gan_ckpt.save(cfg.gan_iters + 1, best_state)  # persist the best state
         key, sub = jax.random.split(key)
-        wf = sample_generator(G, best_state, sub, cfg.n_posterior, gan_cfg)
+        wf = sample_generator(G, best_state, sub, cfg.n_posterior, gan_cfg,
+                              dropout=cfg.posterior_dropout)
         samples = np.asarray(cnn_predict(pe_model, pe_state, wf))
         save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"),
                                 cfg.gan_iters + 1, samples)

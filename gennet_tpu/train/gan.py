@@ -283,9 +283,15 @@ def make_gan_step(generator, discriminator, cfg: GANConfig, mesh=None):
 
 
 def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GANConfig,
-                     chunk: int = 256):
-    """Draw n waveform estimates from the trained generator (inference mode,
-    as the reference's generator.predict posterior draws, ref: :1330-1331).
+                     chunk: int = 256, dropout: bool = False):
+    """Draw n waveform estimates from the trained generator.
+
+    ``dropout=False`` is the reference's generator.predict behavior
+    (ref: :1330-1331). ``dropout=True`` keeps the generator's dropout active
+    during sampling — the MC-dropout move of the method's own lineage
+    (ref: ganymede.py PermaDropout posterior draws, :617-620), which treats
+    dropout as the variational sampler and restores posterior dispersion
+    that latent variation alone under-represents.
 
     Chunked so large posterior draws (4000 samples through a generator with
     1024-channel activations) never exceed HBM — Keras predict auto-batched;
@@ -297,7 +303,11 @@ def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GA
         key, sub = jax.random.split(key)
         z = jax.random.uniform(sub, (chunk, cfg.latent_dim),
                                minval=cfg.latent_low, maxval=cfg.latent_high)
-        x, _ = _apply_g(generator, state.g_params, state.g_stats, z, sub, train=False)
+        if dropout:
+            # dropout rngs active; BN stat updates computed but discarded
+            x, _ = _apply_g(generator, state.g_params, state.g_stats, z, sub, train=True)
+        else:
+            x, _ = _apply_g(generator, state.g_params, state.g_stats, z, sub, train=False)
         outs.append(x.reshape(chunk, -1))
         done += chunk
     return jnp.concatenate(outs, axis=0)[:n]
