@@ -69,6 +69,7 @@ class BurstSmokeConfig:
                                       # TPU: alone each collapses; together
                                       # corr(gen, signal) ≈ 0.9). −1 → n_sig.
     d_lr_scale: float = 0.5           # slow D to avoid late-run divergence
+    posterior_dropout: bool = True    # MC-dropout posterior sampling (see BBH)
     out_dir: str = "out/burst"
     seed: int = 0
     plots: bool = True
@@ -131,7 +132,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             log.log(i, m)
             print(log.status_line(i, m, log.steps_per_sec(i)))
             key, sub = jax.random.split(key)
-            wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg)
+            wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg,
+                                  dropout=cfg.posterior_dropout)
             samples = np.asarray(cnn_predict(pe_model, pe_state, wf / jnp.max(wf)))
             # degenerate-output guard (ref: bbhMahoGANy.py:1354-1355)
             if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
@@ -152,7 +154,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     whiteness = None
     if best_score >= 0:
         key, sub = jax.random.split(key)
-        wf = sample_generator(G, best_state, sub, cfg.n_posterior, gan_cfg)
+        wf = sample_generator(G, best_state, sub, cfg.n_posterior, gan_cfg,
+                              dropout=cfg.posterior_dropout)
         samples = np.asarray(cnn_predict(pe_model, pe_state, wf / jnp.max(wf)))
         if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
             score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
