@@ -69,7 +69,10 @@ class BurstSmokeConfig:
                                       # TPU: alone each collapses; together
                                       # corr(gen, signal) ≈ 0.9). −1 → n_sig.
     d_lr_scale: float = 0.5           # slow D to avoid late-run divergence
-    posterior_dropout: bool = True    # MC-dropout posterior sampling (see BBH)
+    posterior_dropout: bool = False   # MC-dropout sampling hurts the burst
+                                      # scheme (measured: its GaussianDropout
+                                      # 0.3 makes draws too noisy, grid
+                                      # overlap 0.15 vs 0.33); BBH keeps it on
     out_dir: str = "out/burst"
     seed: int = 0
     plots: bool = True
