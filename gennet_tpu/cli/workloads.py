@@ -428,7 +428,13 @@ def _prepare_bbh_data(cfg: BBHConfig, key):
         bank = jnp.asarray(templates[:-1])
         targets = jnp.asarray(np.stack([params["mc"][:-1], params["q"][:-1]], axis=-1))
 
-    truth = (30.0, 0.79)  # event-paper point values (ref: :1064)
+    if cfg.lalinf_dir:
+        truth = (30.0, 0.79)  # event-paper point values (ref: :1064)
+    else:
+        # synthetic event: the injected template's actual parameters
+        bc = tb.BankConfig()
+        mc_t, _ = priors.chirp_mass_eta(bc.tmpl_m1, bc.tmpl_m2)
+        truth = (float(mc_t), bc.tmpl_m2 / bc.tmpl_m1)
     return bank, targets, signal, measured, truth, lalinf_samples, key
 
 
