@@ -364,6 +364,8 @@ class BBHConfig:
     n_posterior: int = 4000
     chi_loss: bool = False
     comb_pe_model: bool = False         # single-net PE variant (ref: :105)
+    bf16: bool = False                  # bfloat16 compute in G/D (MXU fast
+                                        # path; params stay float32)
     posterior_dropout: bool = True      # MC-dropout posterior sampling: keep
                                         # generator dropout active in draws
                                         # (the method lineage's variational
@@ -518,8 +520,9 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                         chi_loss=cfg.chi_loss, n_sig=cfg.n_sig, pair_discriminator=True,
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
                         d_lr_scale=cfg.d_lr_scale)
-    G = BBHGenerator(n_out=cfg.n_pix)
-    D = PairDiscriminator()
+    dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    G = BBHGenerator(n_out=cfg.n_pix, dtype=dt)
+    D = PairDiscriminator(dtype=dt)
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
     gan_ckpt = CheckpointManager(os.path.join(cfg.out_dir, "ckpt_gan"))
     if cfg.resume:

@@ -24,17 +24,21 @@ class PairDiscriminator(nn.Module):
     filt: int = 5
     drate: float = 0.4
     alpha: float = 0.2
+    dtype: "jnp.dtype" = None           # compute dtype (None → float32)
 
     @nn.compact
     def __call__(self, pair, train: bool = False):
         # pair: (B, n_pix, 2) — channel 0 waveform, channel 1 residual/noise
+        import jax.numpy as jnp
+
+        dtype = self.dtype or jnp.float32
         x = pair
         for feat in self.features:
-            x = nn.Conv(feat, (self.filt,), strides=(2,), padding="SAME")(x)
+            x = nn.Conv(feat, (self.filt,), strides=(2,), padding="SAME", dtype=dtype)(x)
             x = nn.leaky_relu(x, negative_slope=self.alpha)
             x = nn.Dropout(self.drate, deterministic=not train)(x)
         x = x.reshape((x.shape[0], -1))
-        return nn.Dense(1)(x)  # logits; BCE applied with logits for stability
+        return nn.Dense(1, dtype=jnp.float32)(x)  # float32 logits for stable BCE
 
 
 class BurstDiscriminator(nn.Module):

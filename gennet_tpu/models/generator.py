@@ -29,14 +29,18 @@ class BBHGenerator(nn.Module):
     drate: float = 0.2
     bn_momentum: float = 0.99
     features: Sequence[int] = (64, 128, 256, 512, 1024)
+    dtype: jnp.dtype = jnp.float32      # compute dtype; bfloat16 puts the
+                                        # convs on the MXU fast path (params
+                                        # stay float32)
 
     @nn.compact
     def __call__(self, z, train: bool = False):
         act = activation(self.act)
         half = self.n_out // 2
 
-        x = nn.Dense(256 * half)(z)
-        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum)(x)
+        x = nn.Dense(256 * half, dtype=self.dtype)(z)
+        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         dtype=self.dtype)(x)
         x = act(x)
         x = nn.Dropout(self.drate, deterministic=not train)(x)
         x = x.reshape((x.shape[0], half, 256))
@@ -44,18 +48,19 @@ class BBHGenerator(nn.Module):
         for i, feat in enumerate(self.features):
             if i == 0:
                 x = upsample1d(x, 2)
-                x = nn.Conv(feat, (self.filt,), strides=(2,), padding="SAME")(x)
+                x = nn.Conv(feat, (self.filt,), strides=(2,), padding="SAME", dtype=self.dtype)(x)
             elif i == 1:
                 x = upsample1d(x, 2)
-                x = nn.Conv(feat, (self.filt,), strides=(1,), padding="SAME")(x)
+                x = nn.Conv(feat, (self.filt,), strides=(1,), padding="SAME", dtype=self.dtype)(x)
             else:
-                x = nn.Conv(feat, (self.filt,), strides=(1,), padding="SAME")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum)(x)
+                x = nn.Conv(feat, (self.filt,), strides=(1,), padding="SAME", dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                             dtype=self.dtype)(x)
             x = act(x)
             x = nn.Dropout(self.drate, deterministic=not train)(x)
 
-        x = nn.Conv(1, (self.filt,), padding="SAME")(x)
-        return x  # (B, n_out, 1), linear output
+        x = nn.Conv(1, (self.filt,), padding="SAME", dtype=jnp.float32)(x)
+        return x  # (B, n_out, 1), linear float32 output
 
 
 class BurstGenerator(nn.Module):
