@@ -123,21 +123,41 @@ def make_cnn_step(model, cfg: CNNConfig, mesh=None):
     return jax.jit(step)
 
 
+_PREDICT_FN_CACHE: dict = {}
+
+
+def _predict_fn(model, with_rng: bool, has_stats: bool):
+    """Cached jitted inference apply (unjitted flax apply dispatches per-op —
+    pathological over a remote device link)."""
+    key_ = (model, with_rng, has_stats)
+    if key_ not in _PREDICT_FN_CACHE:
+        if with_rng:
+            def f(params, stats, xb, rng):
+                v = {"params": params, "batch_stats": stats} if has_stats else {"params": params}
+                return model.apply(v, xb, train=False, rngs={"dropout": rng})
+        else:
+            def f(params, stats, xb):
+                v = {"params": params, "batch_stats": stats} if has_stats else {"params": params}
+                return model.apply(v, xb, train=False)
+
+        _PREDICT_FN_CACHE[key_] = jax.jit(f)
+    return _PREDICT_FN_CACHE[key_]
+
+
 def predict(model, state: CNNState, x: jnp.ndarray, key: jax.Array | None = None,
             chunk: int = 512):
-    """Chunked inference pass (dropout off except PermaDropout models, which
-    require a key). Chunking bounds activation memory for large evaluation
-    sets (the PE nets carry 1024-channel conv activations)."""
-    rngs = {"dropout": key} if key is not None else None
-    variables = {"params": state.params, "batch_stats": state.stats} if state.stats else {"params": state.params}
+    """Chunked, jitted inference pass (dropout off except PermaDropout
+    models, which require a key). Chunking bounds activation memory for large
+    evaluation sets (the PE nets carry 1024-channel conv activations)."""
+    fn = _predict_fn(model, key is not None, bool(state.stats))
     x = x[..., None] if x.ndim == 2 else x
     n = x.shape[0]
-    if n <= chunk:
-        return model.apply(variables, x, train=False, rngs=rngs)
-    outs = []
     pad = (-n) % chunk
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+    outs = []
     for i in range(0, x.shape[0], chunk):
-        outs.append(model.apply(variables, x[i : i + chunk], train=False, rngs=rngs))
+        xb = x[i : i + chunk]
+        outs.append(fn(state.params, state.stats, xb, key) if key is not None
+                    else fn(state.params, state.stats, xb))
     return jnp.concatenate(outs, axis=0)[:n]

@@ -282,6 +282,22 @@ def make_gan_step(generator, discriminator, cfg: GANConfig, mesh=None):
     return jax.jit(step)
 
 
+_SAMPLE_FN_CACHE: dict = {}
+
+
+def _sample_fn(generator, dropout: bool):
+    """Cached jitted chunk sampler — unjitted flax apply dispatches each op
+    separately (very slow over a remote device link)."""
+    key_ = (generator, bool(dropout))
+    if key_ not in _SAMPLE_FN_CACHE:
+
+        def f(params, stats, z, rng):
+            return _apply_g(generator, params, stats, z, rng, train=dropout)[0]
+
+        _SAMPLE_FN_CACHE[key_] = jax.jit(f)
+    return _SAMPLE_FN_CACHE[key_]
+
+
 def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GANConfig,
                      chunk: int = 256, dropout: bool = False):
     """Draw n waveform estimates from the trained generator.
@@ -297,17 +313,13 @@ def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GA
     1024-channel activations) never exceed HBM — Keras predict auto-batched;
     here chunks reuse one compiled program of static shape.
     """
+    fn = _sample_fn(generator, dropout)
     outs = []
     done = 0
     while done < n:
         key, sub = jax.random.split(key)
         z = jax.random.uniform(sub, (chunk, cfg.latent_dim),
                                minval=cfg.latent_low, maxval=cfg.latent_high)
-        if dropout:
-            # dropout rngs active; BN stat updates computed but discarded
-            x, _ = _apply_g(generator, state.g_params, state.g_stats, z, sub, train=True)
-        else:
-            x, _ = _apply_g(generator, state.g_params, state.g_stats, z, sub, train=False)
-        outs.append(x.reshape(chunk, -1))
+        outs.append(fn(state.g_params, state.g_stats, z, sub).reshape(chunk, -1))
         done += chunk
     return jnp.concatenate(outs, axis=0)[:n]
