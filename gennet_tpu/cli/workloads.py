@@ -533,8 +533,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     beta_hist, beta_steps = [], []
     best_white, best_state = -1.0, gan_state
-    log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
     start = int(gan_state.step)
+    log.steps_per_sec(start)  # reset the steps/sec window for the GAN phase
     for i in range(start, cfg.gan_iters):
         key, sub = jax.random.split(key)
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub)
