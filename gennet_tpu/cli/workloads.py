@@ -72,6 +72,7 @@ class BurstSmokeConfig:
                                       # TPU: alone each collapses; together
                                       # corr(gen, signal) ≈ 0.9). −1 → n_sig.
     d_lr_scale: float = 0.5           # slow D to avoid late-run divergence
+    g_ema_decay: float = 0.999        # EMA of G params for posterior draws
     posterior_dropout: bool = False   # MC-dropout sampling hurts the burst
                                       # scheme (measured: its GaussianDropout
                                       # 0.3 makes draws too noisy, grid
@@ -121,7 +122,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
                         n_sig=cfg.n_sig, pair_discriminator=False, residual_route=True,
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
-                        d_lr_scale=cfg.d_lr_scale)
+                        d_lr_scale=cfg.d_lr_scale, g_ema_decay=cfg.g_ema_decay)
     G = BurstGenerator(n_out=cfg.n_pix)
     D = BurstDiscriminator()
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
@@ -382,6 +383,7 @@ class BBHConfig:
                                         # recovers the event waveform
                                         # (corr 0.95) with healthy diversity
     d_lr_scale: float = 0.5             # slow D for long-run stability
+    g_ema_decay: float = 0.999          # EMA of G params for posterior draws
     n_sig: float = 1.0
     cnn_noise_frac: float = 1.0 / 8.0
     out_dir: str = "out/bbh"
@@ -519,7 +521,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
                         chi_loss=cfg.chi_loss, n_sig=cfg.n_sig, pair_discriminator=True,
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
-                        d_lr_scale=cfg.d_lr_scale)
+                        d_lr_scale=cfg.d_lr_scale, g_ema_decay=cfg.g_ema_decay)
     dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
     G = BBHGenerator(n_out=cfg.n_pix, dtype=dt)
     D = PairDiscriminator(dtype=dt)

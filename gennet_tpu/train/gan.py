@@ -58,6 +58,11 @@ class GANConfig:
                                         # scheme; natural value = n_sig, the
                                         # measurement noise)
     g_steps_per_iter: int = 1           # adversarial G updates per iteration
+    g_ema_decay: float = 0.0            # exponential moving average of G
+                                        # params for sampling (0 = off);
+                                        # damps the adversarial oscillation
+                                        # that otherwise swings the posterior
+                                        # around the truth
     d_sees_train_mode: bool = True      # D scores train-mode (dropout-on)
                                         # fakes — the distribution G actually
                                         # optimizes. The reference fed
@@ -77,6 +82,7 @@ class GANState(struct.PyTreeNode):
     g_opt: Any
     d_opt: Any
     g_res_opt: Any
+    g_ema: Any
     step: jnp.ndarray
 
 
@@ -107,6 +113,7 @@ def init_gan(key: jax.Array, generator, discriminator, cfg: GANConfig) -> GANSta
         g_opt=_adam(cfg).init(g_params),
         d_opt=_adam_d(cfg).init(d_params),
         g_res_opt=_adam(cfg).init(g_params),
+        g_ema=g_params,
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -236,9 +243,18 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
     # them across the mesh so the replicated state stays consistent
     g_stats = psum(g_stats) if g_stats else g_stats
 
+    # EMA of generator params for stable sampling
+    if cfg.g_ema_decay > 0.0:
+        d_ = cfg.g_ema_decay
+        g_ema = jax.tree_util.tree_map(lambda e, p: d_ * e + (1.0 - d_) * p,
+                                       state.g_ema, g_params)
+    else:
+        g_ema = g_params
+
     new_state = GANState(
         g_params=g_params, g_stats=g_stats, d_params=d_params,
-        g_opt=g_opt, d_opt=d_opt, g_res_opt=g_res_opt, step=state.step + 1,
+        g_opt=g_opt, d_opt=d_opt, g_res_opt=g_res_opt, g_ema=g_ema,
+        step=state.step + 1,
     )
     metrics = {
         "d_loss": psum(d_loss), "d_acc": psum(d_acc),
@@ -299,7 +315,7 @@ def _sample_fn(generator, dropout: bool):
 
 
 def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GANConfig,
-                     chunk: int = 256, dropout: bool = False):
+                     chunk: int = 256, dropout: bool = False, use_ema: bool = True):
     """Draw n waveform estimates from the trained generator.
 
     ``dropout=False`` is the reference's generator.predict behavior
@@ -314,12 +330,13 @@ def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GA
     here chunks reuse one compiled program of static shape.
     """
     fn = _sample_fn(generator, dropout)
+    params = state.g_ema if (use_ema and cfg.g_ema_decay > 0.0) else state.g_params
     outs = []
     done = 0
     while done < n:
         key, sub = jax.random.split(key)
         z = jax.random.uniform(sub, (chunk, cfg.latent_dim),
                                minval=cfg.latent_low, maxval=cfg.latent_high)
-        outs.append(fn(state.g_params, state.g_stats, z, sub).reshape(chunk, -1))
+        outs.append(fn(params, state.g_stats, z, sub).reshape(chunk, -1))
         done += chunk
     return jnp.concatenate(outs, axis=0)[:n]

@@ -172,3 +172,26 @@ def test_dualbranch_pe_output_range():
     assert out.shape == (4, 2)
     # q head is clipped to [0, 1] (ReLU max_value=1, ref: bbhMahoGANy.py:400)
     assert (np.asarray(out[:, 1]) >= 0).all() and (np.asarray(out[:, 1]) <= 1).all()
+
+
+def test_generator_ema_tracks_params():
+    cfg = GANConfig(n_pix=N_PIX, batch_size=4, pair_discriminator=False,
+                    residual_route=True, n_sig=0.25, g_ema_decay=0.9)
+    G, D = BurstGenerator(n_out=N_PIX), BurstDiscriminator()
+    state = init_gan(jax.random.PRNGKey(0), G, D, cfg)
+    bank, _ = make_burst_bank(jax.random.PRNGKey(1), 32, N=N_PIX)
+    measured = bank[0]
+    step = make_gan_step(G, D, cfg)
+    s1, _ = step(state, bank, measured, jax.random.PRNGKey(2))
+    # ema moved toward new params but lags them
+    p0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    p1 = jax.tree_util.tree_leaves(s1.g_params)[0]
+    e1 = jax.tree_util.tree_leaves(s1.g_ema)[0]
+    np.testing.assert_allclose(np.asarray(e1), 0.9 * np.asarray(p0) + 0.1 * np.asarray(p1),
+                               rtol=1e-5, atol=1e-7)
+    # sampling with use_ema differs from raw-params sampling after divergence
+    from gennet_tpu.train.gan import sample_generator
+
+    a = sample_generator(G, s1, jax.random.PRNGKey(3), 4, cfg, use_ema=True)
+    b = sample_generator(G, s1, jax.random.PRNGKey(3), 4, cfg, use_ema=False)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
