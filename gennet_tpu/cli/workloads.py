@@ -72,7 +72,12 @@ class BurstSmokeConfig:
                                       # TPU: alone each collapses; together
                                       # corr(gen, signal) ≈ 0.9). −1 → n_sig.
     d_lr_scale: float = 0.5           # slow D to avoid late-run divergence
-    g_ema_decay: float = 0.999        # EMA of G params for posterior draws
+    g_ema_decay: float = 0.0          # EMA of G params for posterior draws —
+                                      # measured HARMFUL here (0.03 vs 0.23
+                                      # overlap at 20k iters: weight-space
+                                      # averaging across oscillation states
+                                      # blurs waveforms); knob kept for long
+                                      # runs, default off
     posterior_dropout: bool = False   # MC-dropout sampling hurts the burst
                                       # scheme (measured: its GaussianDropout
                                       # 0.3 makes draws too noisy, grid
@@ -383,7 +388,8 @@ class BBHConfig:
                                         # recovers the event waveform
                                         # (corr 0.95) with healthy diversity
     d_lr_scale: float = 0.5             # slow D for long-run stability
-    g_ema_decay: float = 0.999          # EMA of G params for posterior draws
+    g_ema_decay: float = 0.0            # EMA of G params (see burst note:
+                                        # measured harmful at these scales)
     n_sig: float = 1.0
     cnn_noise_frac: float = 1.0 / 8.0
     out_dir: str = "out/bbh"
