@@ -72,6 +72,10 @@ class BurstSmokeConfig:
                                       # TPU: alone each collapses; together
                                       # corr(gen, signal) ≈ 0.9). −1 → n_sig.
     d_lr_scale: float = 0.5           # slow D to avoid late-run divergence
+    n_snapshots: int = 1              # posterior draws pooled over the k most
+                                      # recent cadence states (snapshot
+                                      # ensemble over the adversarial
+                                      # oscillation; 1 = reference behavior)
     g_ema_decay: float = 0.0          # EMA of G params for posterior draws —
                                       # measured HARMFUL here (0.03 vs 0.23
                                       # overlap at 20k iters: weight-space
@@ -133,9 +137,12 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
     gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
 
+    from collections import deque
+
     score = 0.0
     best_score = -1.0
     best_state = gan_state
+    snapshots = deque(maxlen=max(1, cfg.n_snapshots))
     log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
     for i in range(cfg.gan_iters):
         key, sub = jax.random.split(key)
@@ -143,9 +150,19 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
         if i % cfg.cadence == 0 and i > 0:
             log.log(i, m)
             print(log.status_line(i, m, log.steps_per_sec(i)))
+            snapshots.append(gan_state)
             key, sub = jax.random.split(key)
-            wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg,
-                                  dropout=cfg.posterior_dropout)
+            if len(snapshots) > 1:
+                per = max(cfg.n_posterior // len(snapshots), 64)
+                parts = []
+                for snap in snapshots:
+                    key, sub = jax.random.split(key)
+                    parts.append(sample_generator(G, snap, sub, per, gan_cfg,
+                                                  dropout=cfg.posterior_dropout))
+                wf = jnp.concatenate(parts, axis=0)
+            else:
+                wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg,
+                                      dropout=cfg.posterior_dropout)
             samples = np.asarray(cnn_predict(pe_model, pe_state, wf / jnp.max(wf)))
             # degenerate-output guard (ref: bbhMahoGANy.py:1354-1355)
             if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
