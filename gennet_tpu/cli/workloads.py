@@ -72,8 +72,19 @@ class BurstSmokeConfig:
                                       # TPU: alone each collapses; together
                                       # corr(gen, signal) ≈ 0.9). −1 → n_sig.
     d_lr_scale: float = 0.5           # slow D to avoid late-run divergence
+    d_acc_gate: float = 0.0           # adaptive D/G balance: skip the D update
+                                      # while its batch accuracy ≥ gate (0 =
+                                      # off = reference's fixed schedule)
+    diversity_weight: float = 0.0     # mode-seeking regularizer on G draws
+    res_loss_weight: float = 1.0      # weight of the residual-moment route
+    posterior_temp: float = 1.0       # latent temperature for posterior draws
+    per_sample_max: bool = False      # CNN max-normalization per sample
+                                      # instead of per batch (ablation of the
+                                      # reference's global-max convention)
+    snapshot_every: int = 1           # pool snapshots every k-th cadence
+                                      # point (longer ensemble horizon)
     n_snapshots: int = 1              # posterior draws pooled over the k most
-                                      # recent cadence states (snapshot
+                                      # recent snapshot states (snapshot
                                       # ensemble over the adversarial
                                       # oscillation; 1 = reference behavior)
     g_ema_decay: float = 0.0          # EMA of G params for posterior draws —
@@ -109,7 +120,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
 
     # ---- CNN PE (ref: :732-771) ----------------------------------------
     pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
-                       noise_frac=0.0, max_normalize=True)
+                       noise_frac=0.0, max_normalize=True,
+                       max_per_sample=cfg.per_sample_max)
     pe_model = BurstPE()
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
     pe_step = make_cnn_step(pe_model, pe_cfg, mesh=mesh)
@@ -131,7 +143,10 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
                         n_sig=cfg.n_sig, pair_discriminator=False, residual_route=True,
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
-                        d_lr_scale=cfg.d_lr_scale, g_ema_decay=cfg.g_ema_decay)
+                        d_lr_scale=cfg.d_lr_scale, d_acc_gate=cfg.d_acc_gate,
+                        diversity_weight=cfg.diversity_weight,
+                        res_loss_weight=cfg.res_loss_weight,
+                        g_ema_decay=cfg.g_ema_decay)
     G = BurstGenerator(n_out=cfg.n_pix)
     D = BurstDiscriminator()
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
@@ -139,10 +154,28 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
 
     from collections import deque
 
+    from gennet_tpu.train.cnn import normalize_max
+
+    snapshots = deque(maxlen=max(1, cfg.n_snapshots))
+
+    def draw_posterior(states, key):
+        """Posterior cloud pooled over snapshot states (snapshot-ensemble
+        sampling across the adversarial oscillation)."""
+        per = cfg.n_posterior if len(states) == 1 else max(cfg.n_posterior // len(states), 64)
+        parts = []
+        for snap in states:
+            key, sub = jax.random.split(key)
+            parts.append(sample_generator(G, snap, sub, per, gan_cfg,
+                                          dropout=cfg.posterior_dropout,
+                                          temp=cfg.posterior_temp))
+        wf = jnp.concatenate(parts, axis=0)
+        samples = np.asarray(cnn_predict(pe_model, pe_state, normalize_max(wf, pe_cfg)))
+        return wf, samples
+
     score = 0.0
     best_score = -1.0
     best_state = gan_state
-    snapshots = deque(maxlen=max(1, cfg.n_snapshots))
+    n_cad = 0
     log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
     for i in range(cfg.gan_iters):
         key, sub = jax.random.split(key)
@@ -150,20 +183,11 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
         if i % cfg.cadence == 0 and i > 0:
             log.log(i, m)
             print(log.status_line(i, m, log.steps_per_sec(i)))
-            snapshots.append(gan_state)
+            n_cad += 1
+            if n_cad % max(1, cfg.snapshot_every) == 0:
+                snapshots.append(gan_state)
             key, sub = jax.random.split(key)
-            if len(snapshots) > 1:
-                per = max(cfg.n_posterior // len(snapshots), 64)
-                parts = []
-                for snap in snapshots:
-                    key, sub = jax.random.split(key)
-                    parts.append(sample_generator(G, snap, sub, per, gan_cfg,
-                                                  dropout=cfg.posterior_dropout))
-                wf = jnp.concatenate(parts, axis=0)
-            else:
-                wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg,
-                                      dropout=cfg.posterior_dropout)
-            samples = np.asarray(cnn_predict(pe_model, pe_state, wf / jnp.max(wf)))
+            wf, samples = draw_posterior(list(snapshots) or [gan_state], sub)
             # degenerate-output guard (ref: bbhMahoGANy.py:1354-1355)
             if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
                 score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
@@ -178,16 +202,24 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                 P.plot_pe_samples(samples, truth, cfg.out_dir, i, grid=(L, gx, gy))
                 P.plot_losses(log.arrays(), cfg.out_dir)
 
-    # final posterior from the best-by-overlap state (GANs degrade late; the
-    # reference kept whatever the last iteration produced)
+    # FINAL-state scoring — the reference uses whatever the last iteration
+    # produced (ref: bbhMahoGANy.py:1241); the training recipe must keep the
+    # final state healthy, with best-state kept only as a diagnostic
     whiteness = None
-    if best_score >= 0:
+    final_score = 0.0
+    if cfg.gan_iters > 0:
         key, sub = jax.random.split(key)
-        wf = sample_generator(G, best_state, sub, cfg.n_posterior, gan_cfg,
-                              dropout=cfg.posterior_dropout)
-        samples = np.asarray(cnn_predict(pe_model, pe_state, wf / jnp.max(wf)))
+        if cfg.n_snapshots <= 1:
+            final_states = [gan_state]          # reference behavior
+        else:
+            final_states = list(snapshots) or [gan_state]
+            if final_states[-1] is not gan_state:
+                final_states.append(gan_state)
+        wf, samples = draw_posterior(final_states, sub)
         if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
-            score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
+            final_score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
+        log.log(cfg.gan_iters, {"grid_overlap_final": final_score})
+        print(f"final-state grid overlap: {final_score:.4f}")
         # residual-whiteness gate (SURVEY idiom 4): h(t) − x_gen should be
         # N(0, n_sig²) white
         from gennet_tpu.eval.whiteness import whiteness_score
@@ -199,12 +231,14 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             from gennet_tpu.eval import plots as P
 
             P.plot_waveform_est(signal, measured, np.asarray(wf), cfg.out_dir,
-                                cfg.gan_iters, fname="waveform_best.png")
+                                cfg.gan_iters, fname="waveform_final.png")
             P.plot_pe_samples(samples, truth, cfg.out_dir, cfg.gan_iters,
-                              grid=(L, gx, gy), fname="pe_samples_best.png")
+                              grid=(L, gx, gy), fname="pe_samples_final.png")
 
     log.close()
-    return {"rms": rms, "pe_std": pe_std, "grid_overlap": max(score, best_score),
+    return {"rms": rms, "pe_std": pe_std,
+            "grid_overlap": final_score,          # final-state score (the gate)
+            "grid_overlap_best": best_score,      # best cadence state (diagnostic)
             "whiteness": whiteness}
 
 
@@ -382,7 +416,14 @@ class BBHConfig:
     gan_iters: int = 500_000
     pe_iters: int = 500_000
     lr: float = 9e-5
-    cadence: int = 100
+    cadence: int = 100                  # cheap jitted metrics: logged at EVERY
+                                        # cadence point for the whole run
+    eval_cadence: int = 1000            # expensive path: posterior draws, β,
+                                        # whiteness, plots, snapshots (the
+                                        # reference did all of it every 100,
+                                        # ref: :1302-1381 — separated here so
+                                        # long runs keep full observability
+                                        # without paying the eval cost)
     pe_cadence: int = 1000
     n_posterior: int = 4000
     chi_loss: bool = False
@@ -405,8 +446,21 @@ class BBHConfig:
                                         # recovers the event waveform
                                         # (corr 0.95) with healthy diversity
     d_lr_scale: float = 0.5             # slow D for long-run stability
+    d_acc_gate: float = 0.9             # adaptive D/G balance: skip D updates
+                                        # while its (synced) batch accuracy ≥
+                                        # gate — prevents the d_acc=1.0
+                                        # saturation a fixed 500k schedule
+                                        # drifts into (the reference's run
+                                        # oscillates but never pegs,
+                                        # ref: bbhMahoGANy.py:1241-1382)
+    diversity_weight: float = 0.0       # mode-seeking regularizer on G
     g_ema_decay: float = 0.0            # EMA of G params (see burst note:
                                         # measured harmful at these scales)
+    posterior_temp: float = 1.0         # latent temperature for draws
+    n_snapshots: int = 1                # posterior pooled over k recent
+                                        # eval-cadence states (1 = reference)
+    grid_grain: int = 95                # exact-grid posterior resolution for
+                                        # the synthetic event (0 = disable)
     n_sig: float = 1.0
     cnn_noise_frac: float = 1.0 / 8.0
     out_dir: str = "out/bbh"
@@ -465,17 +519,37 @@ def _prepare_bbh_data(cfg: BBHConfig, key):
         bc = tb.BankConfig()
         mc_t, _ = priors.chirp_mass_eta(bc.tmpl_m1, bc.tmpl_m2)
         truth = (float(mc_t), bc.tmpl_m2 / bc.tmpl_m1)
-    return bank, targets, signal, measured, truth, lalinf_samples, key
+    return bank, targets, signal, measured, norm, psd, truth, lalinf_samples, key
 
 
 def run_bbh(cfg: BBHConfig, mesh=None):
     """Flagship pipeline: CNN PE training then GAN training with posterior
-    validation. Returns summary dict (β vs lalinference when available)."""
+    validation. β is ALWAYS reported: against lalinference products when
+    mounted, else against the exact grid posterior of the synthetic event
+    (same role as the burst workload's analytic grid, SURVEY.md §4 idiom #1)."""
     key = jax.random.PRNGKey(cfg.seed)
     os.makedirs(cfg.out_dir, exist_ok=True)
     log = MetricLogger(cfg.out_dir, "bbh")
 
-    bank, targets, signal, measured, truth, lalinf_samples, key = _prepare_bbh_data(cfg, key)
+    bank, targets, signal, measured, norm, psd, truth, lalinf_samples, key = \
+        _prepare_bbh_data(cfg, key)
+    bank_cfg = tb.BankConfig()
+
+    # ---- reference posterior --------------------------------------------
+    # lalinference products when mounted (ref comparison set: 3907 rows,
+    # lalinf_post_waveform_maker.py:61); otherwise the exact (mc, q)
+    # likelihood grid of the synthetic event — so β is never None
+    grid = None
+    if lalinf_samples is not None:
+        ref_samples = np.asarray(lalinf_samples)
+    elif cfg.grid_grain > 0:
+        sigma_eff = float(np.std(np.asarray(measured) - np.asarray(signal)))
+        Lg, gmc, gq = gp.bbh_grid_posterior(measured, psd, bank_cfg, norm,
+                                            sigma_eff, grain=cfg.grid_grain)
+        grid = (np.asarray(Lg), gmc, gq)
+        ref_samples = gp.sample_grid_posterior(Lg, gmc, gq, 3907, seed=cfg.seed)
+    else:
+        ref_samples = None
 
     # ---- CNN PE ---------------------------------------------------------
     pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.pe_batch_size, lr=cfg.lr,
@@ -489,13 +563,11 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     # best achievable posterior (validation idiom #3, ref:
     # lalinf_post_waveform_maker.py + bbhMahoGANy.py:1226-1231)
     sanity_waveforms = None
-    if lalinf_samples is not None:
+    if ref_samples is not None:
         m1s, m2s = priors.mc_q_to_m1m2(
-            jnp.asarray(lalinf_samples[:, 0]), jnp.asarray(lalinf_samples[:, 1])
+            jnp.asarray(ref_samples[:, 0]), jnp.asarray(ref_samples[:, 1])
         )
-        bank_cfg0 = tb.BankConfig()
-        psd0 = psd_mod.analytic_advligo_psd(bank_cfg0.fs, bank_cfg0.T_obs * bank_cfg0.safe)
-        sanity_waveforms = tb.make_templates_from_params(m1s, m2s, psd0, bank_cfg0)
+        sanity_waveforms = tb.make_templates_from_params(m1s, m2s, psd, bank_cfg, norm)
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
     pe_ckpt = CheckpointManager(os.path.join(cfg.out_dir, "ckpt_pe"))
     if cfg.resume:
@@ -516,7 +588,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 # posterior (ref: bbhMahoGANy.py:1226-1231)
                 sane = np.asarray(cnn_predict(pe_model, pe_state, sanity_waveforms))
                 if sane[:, 0].var() > 0 and sane[:, 1].var() > 0:
-                    b = ov.beta_overlap(sane, lalinf_samples)
+                    b = ov.beta_overlap(sane, ref_samples)
                     log.log(i, {"cnn_sanity_beta": b})
                     print(f"CNN sanity-check beta: {b:.4f}")
             if cfg.plots:
@@ -539,12 +611,26 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     pe_std = [float(np.mean(np.abs(tgt[:, k] - est[:, k]))) for k in range(2)]
     print(f"Completed CNN PE  RMS: {pe_rms[0]:f},{pe_rms[1]:f}  pe_std: {pe_std[0]:f},{pe_std[1]:f}")
 
+    # CNN-sanity posterior cloud: the best the CNN (and hence the GAN+CNN
+    # stack) can achieve on ideal inputs; its β vs the reference cloud is the
+    # achievable ceiling (ref: bbhMahoGANy.py:1226-1231)
+    sanity_cloud, cnn_sanity_beta = None, None
+    if sanity_waveforms is not None:
+        sanity_cloud = np.asarray(cnn_predict(pe_model, pe_state, sanity_waveforms))
+        if sanity_cloud[:, 0].var() > 0 and sanity_cloud[:, 1].var() > 0:
+            cnn_sanity_beta = ov.beta_overlap(sanity_cloud, ref_samples)
+        else:
+            cnn_sanity_beta = 0.0  # untrained/collapsed CNN
+        print(f"CNN sanity bound beta: {cnn_sanity_beta:.4f}")
+
     # ---- GAN -------------------------------------------------------------
     inoise = cfg.n_sig if cfg.instance_noise < 0 else cfg.instance_noise
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
                         chi_loss=cfg.chi_loss, n_sig=cfg.n_sig, pair_discriminator=True,
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
-                        d_lr_scale=cfg.d_lr_scale, g_ema_decay=cfg.g_ema_decay)
+                        d_lr_scale=cfg.d_lr_scale, d_acc_gate=cfg.d_acc_gate,
+                        diversity_weight=cfg.diversity_weight,
+                        g_ema_decay=cfg.g_ema_decay)
     dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
     G = BBHGenerator(n_out=cfg.n_pix, dtype=dt)
     D = PairDiscriminator(dtype=dt)
@@ -556,6 +642,48 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             gan_state = restored
     gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
 
+    from collections import deque
+
+    from gennet_tpu.eval.whiteness import whiteness_score
+
+    snapshots = deque(maxlen=max(1, cfg.n_snapshots))
+
+    def draw_posterior(states, key):
+        per = cfg.n_posterior if len(states) == 1 else max(cfg.n_posterior // len(states), 256)
+        parts = []
+        for snap in states:
+            key, sub = jax.random.split(key)
+            parts.append(sample_generator(G, snap, sub, per, gan_cfg,
+                                          dropout=cfg.posterior_dropout,
+                                          temp=cfg.posterior_temp))
+        wf = jnp.concatenate(parts, axis=0)
+        samples = np.asarray(cnn_predict(pe_model, pe_state, wf))
+        return wf, samples
+
+    def eval_posterior(states, key, step, tag=None):
+        """Expensive eval path: posterior draw → CNN → β/grid/whiteness."""
+        wf, samples = draw_posterior(states, key)
+        save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"),
+                                step, samples)
+        resid = np.asarray(measured)[None, :] - np.asarray(wf[:256])
+        ws = whiteness_score(resid, cfg.n_sig)
+        w_score = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
+        out = {"whiteness": w_score, "ws": ws, "wf": wf, "samples": samples,
+               "beta": None, "grid_overlap": None}
+        if ref_samples is not None:
+            if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
+                out["beta"] = ov.beta_overlap(samples, ref_samples)
+                if grid is not None:
+                    out["grid_overlap"] = gp.grid_overlap_score(samples, grid[0], grid[1], grid[2])
+            else:
+                # degenerate cloud (ref guard: bbhMahoGANy.py:1354-1355):
+                # a collapsed posterior has zero overlap by definition
+                out["beta"] = 0.0
+                out["grid_overlap"] = 0.0 if grid is not None else None
+        row = {k: out[k] for k in ("whiteness", "beta", "grid_overlap") if out[k] is not None}
+        log.log(step, row if tag is None else {f"{k}_{tag}": v for k, v in row.items()})
+        return out
+
     beta_hist, beta_steps = [], []
     best_white, best_state = -1.0, gan_state
     start = int(gan_state.step)
@@ -564,45 +692,32 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         key, sub = jax.random.split(key)
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub)
         if i % cfg.cadence == 0 and i > 0:
+            # cheap jitted metrics: ALWAYS logged, full-run observability
             log.log(i, m)
             print(log.status_line(i, m, log.steps_per_sec(i)))
-
+        if i % cfg.eval_cadence == 0 and i > 0:
+            snapshots.append(gan_state)
             # posterior draw fully on-device: G samples → CNN (ref: :1330-1343)
             key, sub = jax.random.split(key)
-            wf = sample_generator(G, gan_state, sub, cfg.n_posterior, gan_cfg,
-                                  dropout=cfg.posterior_dropout)
-            samples = np.asarray(cnn_predict(pe_model, pe_state, wf))
-            save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"), i, samples)
-
-            # best-state selection by residual whiteness — the method's own
-            # objective (h(t) − x_gen ~ N(0, n_sig²) white), usable with or
-            # without a comparison posterior
-            from gennet_tpu.eval.whiteness import whiteness_score
-
-            resid = np.asarray(measured)[None, :] - np.asarray(wf[:128])
-            ws = whiteness_score(resid, cfg.n_sig)
-            w_score = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
-            log.log(i, {"whiteness": w_score})
-            if w_score > best_white:
-                best_white, best_state = w_score, gan_state
-
-            if lalinf_samples is not None and samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
-                beta = ov.beta_overlap(samples, lalinf_samples)
-                beta_hist.append(beta)
+            ev = eval_posterior(list(snapshots), sub, i)
+            if ev["whiteness"] > best_white:
+                best_white, best_state = ev["whiteness"], gan_state
+            if ev["beta"] is not None:
+                beta_hist.append(ev["beta"])
                 beta_steps.append(i)
-                log.log(i, {"beta": beta})
-                print(f"beta result: {beta}")
-
+                print(f"beta result: {ev['beta']}" +
+                      ("" if ev["grid_overlap"] is None
+                       else f"  grid overlap: {ev['grid_overlap']:.4f}"))
             if cfg.plots:
                 from gennet_tpu.eval import plots as P
 
-                wf_np = np.asarray(wf)
+                wf_np = np.asarray(ev["wf"])
                 P.plot_waveform_est(signal, measured, wf_np, cfg.out_dir, i)
                 P.plot_waveform_est(signal, measured, wf_np, cfg.out_dir, i,
                                     zoom=(450, 550))
                 P.plot_losses(log.arrays(), cfg.out_dir)
-                ref = None if lalinf_samples is None else np.asarray(lalinf_samples)
-                P.plot_pe_samples(samples, truth, cfg.out_dir, i, ref_samples=ref)
+                P.plot_pe_samples(ev["samples"], truth, cfg.out_dir, i,
+                                  ref_samples=ref_samples)
                 if beta_hist:
                     P.plot_beta_history(beta_hist, beta_steps, cfg.out_dir)
         if i % cfg.ckpt_every == 0 and i > 0:
@@ -610,33 +725,37 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     gan_ckpt.save(max(cfg.gan_iters, 1), gan_state)
 
-    # final artifacts from the BEST-whiteness state (GANs oscillate late)
-    whiteness = None
-    if cfg.gan_iters > start and best_white >= 0:
-        gan_ckpt.save(cfg.gan_iters + 1, best_state)  # persist the best state
+    # ---- FINAL-state artifacts (the reference uses the last iteration's
+    # state, ref: :1241); best-whiteness state persisted as a diagnostic ----
+    whiteness = beta_final = grid_overlap_final = None
+    if cfg.gan_iters > start:
         key, sub = jax.random.split(key)
-        wf = sample_generator(G, best_state, sub, cfg.n_posterior, gan_cfg,
-                              dropout=cfg.posterior_dropout)
-        samples = np.asarray(cnn_predict(pe_model, pe_state, wf))
-        save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"),
-                                cfg.gan_iters + 1, samples)
-        from gennet_tpu.eval.whiteness import whiteness_score
-
-        resid = np.asarray(measured)[None, :] - np.asarray(wf[:256])
-        whiteness = whiteness_score(resid, cfg.n_sig)
-        print(f"best-state residual whiteness: {whiteness}")
+        final_states = [gan_state] if cfg.n_snapshots <= 1 else \
+            (list(snapshots) + ([] if snapshots and snapshots[-1] is gan_state else [gan_state]))
+        ev = eval_posterior(final_states, sub, cfg.gan_iters, tag="final")
+        whiteness, beta_final = ev["ws"], ev["beta"]
+        grid_overlap_final = ev["grid_overlap"]
+        print(f"final-state residual whiteness: {whiteness}")
+        if beta_final is not None:
+            print(f"final-state beta: {beta_final:.4f}" +
+                  ("" if grid_overlap_final is None
+                   else f"  grid overlap: {grid_overlap_final:.4f}"))
         if cfg.plots:
             from gennet_tpu.eval import plots as P
 
-            P.plot_waveform_est(signal, measured, np.asarray(wf), cfg.out_dir,
-                                cfg.gan_iters, fname="waveform_best.png")
-            ref = None if lalinf_samples is None else np.asarray(lalinf_samples)
-            P.plot_pe_samples(samples, truth, cfg.out_dir, cfg.gan_iters,
-                              ref_samples=ref, fname="pe_samples_best.png")
+            P.plot_waveform_est(signal, measured, np.asarray(ev["wf"]), cfg.out_dir,
+                                cfg.gan_iters, fname="waveform_final.png")
+            P.plot_pe_samples(ev["samples"], truth, cfg.out_dir, cfg.gan_iters,
+                              ref_samples=ref_samples, fname="pe_samples_final.png")
+        if best_white >= 0:
+            gan_ckpt.save(cfg.gan_iters + 1, best_state)  # diagnostic state
 
     log.close()
     return {
-        "beta": beta_hist[-1] if beta_hist else None,
+        "beta": beta_final,
+        "beta_hist_last": beta_hist[-1] if beta_hist else None,
+        "grid_overlap": grid_overlap_final,
+        "cnn_sanity_beta": cnn_sanity_beta,
         "final_step": int(gan_state.step),
         "whiteness": whiteness,
         "pe_rms": pe_rms,

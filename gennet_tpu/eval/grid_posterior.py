@@ -34,6 +34,68 @@ def burst_grid_posterior(measured: jnp.ndarray, n_sig: float = 0.25, grain: int 
     return L, np.asarray(t0), np.asarray(tau)
 
 
+def bbh_grid_posterior(measured: jnp.ndarray, psd: jnp.ndarray, bank_cfg,
+                       norm_constant: float, noise_sigma: float, grain: int = 95,
+                       mc_range=(20.0, 35.0), q_range=(0.5, 1.0), chunk: int = 4096):
+    """Exact (mc, q) likelihood grid for the SYNTHETIC flagship event.
+
+    The synthetic measured event is built by this same pipeline
+    (template_bank.make_event: event-twin template + N(0, σ) whitened noise,
+    peak at the safe-window centre), so the Gaussian likelihood over a grid
+    of templates synthesized at the same peak index is *exact* ground truth —
+    the flagship analogue of the burst grid (ref: burstMahoGANy.py:716-726).
+    Prior: uniform over the (mc, q) grid box (the likelihood dominates at
+    GW150914-like SNR; the reference's comparison posterior carried
+    lalinference's priors instead, ref: bbhMahoGANy.py:116-117).
+
+    Returns (L[grain, grain] with axes (q, mc) — the (y, x) convention
+    grid_overlap_score expects — mc grid, q grid).
+    """
+    from gennet_tpu.data import template_bank as tb
+    from gennet_tpu.physics import priors
+
+    mc = np.linspace(*mc_range, grain)
+    q = np.linspace(*q_range, grain)
+    MC, Q = np.meshgrid(mc, q, indexing="ij")
+    m1, m2 = priors.mc_q_to_m1m2(jnp.asarray(MC.ravel(), jnp.float32),
+                                 jnp.asarray(Q.ravel(), jnp.float32))
+    n = int(m1.shape[0])
+    d = jnp.asarray(measured).reshape(1, -1)
+
+    pad = (-n) % chunk
+    if pad:
+        m1 = jnp.concatenate([m1, jnp.full((pad,), m1[0], m1.dtype)])
+        m2 = jnp.concatenate([m2, jnp.full((pad,), m2[0], m2.dtype)])
+    parts = []
+    for i in range(0, n + pad, chunk):
+        h = tb.make_templates_from_params(m1[i : i + chunk], m2[i : i + chunk],
+                                          psd, bank_cfg, norm_constant)
+        parts.append(-0.5 * jnp.sum(((d - h) / noise_sigma) ** 2, axis=-1))
+    logL = np.asarray(jnp.concatenate(parts)[:n], np.float64).reshape(grain, grain)
+    L = np.exp(logL - logL.max())
+    return jnp.asarray(L.T), mc, q  # (q, mc) = (y, x), as the burst grid
+
+
+def sample_grid_posterior(L: np.ndarray, x_grid: np.ndarray, y_grid: np.ndarray,
+                          n: int, seed: int = 0) -> np.ndarray:
+    """Draw (x, y) samples from a normalized grid posterior (categorical over
+    cells + uniform jitter within each cell) — a stand-in reference cloud for
+    β/KS/AD scoring when no lalinference posterior is mounted.
+
+    ``L`` uses the (y, x) axis convention of the grid builders above.
+    """
+    rng = np.random.default_rng(seed)
+    p = np.asarray(L, np.float64).T  # → (x, y)
+    p = p / p.sum()
+    flat_idx = rng.choice(p.size, size=n, p=p.ravel())
+    ix, iy = np.unravel_index(flat_idx, p.shape)
+    dx = x_grid[1] - x_grid[0] if len(x_grid) > 1 else 0.0
+    dy = y_grid[1] - y_grid[0] if len(y_grid) > 1 else 0.0
+    x = x_grid[ix] + rng.uniform(-0.5, 0.5, n) * dx
+    y = y_grid[iy] + rng.uniform(-0.5, 0.5, n) * dy
+    return np.stack([x, y], axis=-1)
+
+
 def grid_credible_interval(L: np.ndarray, levels=(0.68, 0.9, 0.99)):
     """Density thresholds enclosing the requested probability masses on a
     normalized grid posterior — the contour levels the reference found by

@@ -29,7 +29,21 @@ class CNNConfig:
     noise_scale_max: float = 5.0        # N(0, U(0,5)) augmentation (ref: :1161)
     max_normalize: bool = False         # burst workload normalizes by batch max
                                         # (ref: burstMahoGANy.py:738)
+    max_per_sample: bool = False        # normalize each sample by ITS max
+                                        # instead of the batch max — removes
+                                        # the batch-outlier coupling of the
+                                        # reference's global-max convention
+                                        # (every sample's scale depends on the
+                                        # largest waveform in the batch)
     npar: int = 2
+
+
+def normalize_max(x: jnp.ndarray, cfg: CNNConfig) -> jnp.ndarray:
+    """The burst workload's max normalization (ref: burstMahoGANy.py:738):
+    batch-global by default, per-sample when ``cfg.max_per_sample``."""
+    if cfg.max_per_sample:
+        return x / (jnp.max(x, axis=tuple(range(1, x.ndim)), keepdims=True) + 1e-12)
+    return x / jnp.max(x)
 
 
 class CNNState(struct.PyTreeNode):
@@ -52,15 +66,14 @@ def init_cnn(key: jax.Array, model, cfg: CNNConfig) -> CNNState:
     )
 
 
-def cnn_step(state: CNNState, bank: jnp.ndarray, targets: jnp.ndarray, key: jax.Array,
-             *, model, cfg: CNNConfig, axis_name: str | None = None):
-    """One CNN PE iteration: gather batch → augment → MSE update.
+def draw_cnn_batch(key: jax.Array, bank: jnp.ndarray, targets: jnp.ndarray,
+                   cfg: CNNConfig):
+    """Consume one iteration's randomness: gather batch → augment → normalize.
 
-    bank: (N, n_pix) whitened templates; targets: (N, npar) = [mc, q].
-    """
+    Returns (x, y, dropout_key); concatenating per-device triples along the
+    batch axis yields the global batch of the equivalent single-device step."""
     B = cfg.batch_size
     k_idx, k_scale, k_noise, k_drop = jax.random.split(key, 4)
-    psum = (lambda t: jax.lax.pmean(t, axis_name)) if axis_name else (lambda t: t)
 
     idx = jax.random.randint(k_idx, (B,), 0, bank.shape[0])
     x = bank[idx]
@@ -76,9 +89,15 @@ def cnn_step(state: CNNState, bank: jnp.ndarray, targets: jnp.ndarray, key: jax.
         x = x + mask * noise
 
     if cfg.max_normalize:
-        x = x / jnp.max(x)
+        x = normalize_max(x, cfg)
 
-    x = x[..., None]
+    return x[..., None], y, k_drop
+
+
+def cnn_update(state: CNNState, x: jnp.ndarray, y: jnp.ndarray, k_drop: jax.Array,
+               *, model, cfg: CNNConfig, axis_name: str | None = None):
+    """Deterministic half: MSE update on a materialized batch."""
+    psum = (lambda t: jax.lax.pmean(t, axis_name)) if axis_name else (lambda t: t)
 
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.stats} if state.stats else {"params": params}
@@ -100,6 +119,16 @@ def cnn_step(state: CNNState, bank: jnp.ndarray, targets: jnp.ndarray, key: jax.
 
     new_state = CNNState(params=params, stats=new_stats, opt=opt, step=state.step + 1)
     return new_state, {"pe_loss": psum(loss)}
+
+
+def cnn_step(state: CNNState, bank: jnp.ndarray, targets: jnp.ndarray, key: jax.Array,
+             *, model, cfg: CNNConfig, axis_name: str | None = None):
+    """One CNN PE iteration: gather batch → augment → MSE update.
+
+    bank: (N, n_pix) whitened templates; targets: (N, npar) = [mc, q].
+    """
+    x, y, k_drop = draw_cnn_batch(key, bank, targets, cfg)
+    return cnn_update(state, x, y, k_drop, model=model, cfg=cfg, axis_name=axis_name)
 
 
 def make_cnn_step(model, cfg: CNNConfig, mesh=None):

@@ -14,6 +14,12 @@ functionally. Keras's per-composite optimizers are preserved: D, the
 adversarial G route, and the residual-moment G route each hold independent
 Adam state, matching the reference's three compile() calls
 (ref: burstMahoGANy.py:652-668).
+
+The step is split into :func:`draw_gan_batch` (all RNG consumption → a
+:class:`GANBatch` pytree) and :func:`gan_update` (deterministic math given a
+batch). This makes the data-parallel invariant *exactly* testable: the
+8-shard pmean'd update equals a single-device update on the concatenation of
+the 8 per-device batches (tests/test_train.py::test_gan_dp_8_matches_global_batch).
 """
 
 from dataclasses import dataclass
@@ -43,6 +49,7 @@ class GANConfig:
     chi_loss: bool = False              # χ² G loss option (ref: :97,146-162)
     pair_discriminator: bool = True     # D sees (waveform, residual) pairs
     residual_route: bool = False        # burst 3-loss scheme (ref: :798-802)
+    res_loss_weight: float = 1.0        # weight on the residual-moment route
     label_smoothing: bool = False       # one-sided smoothing (G8 variant,
                                         # ref: 2_model_version subtract_model
                                         # no_weight_code:106-114)
@@ -51,6 +58,15 @@ class GANConfig:
     n_noise_real: int = 1               # noise realizations per sample (ref: :107)
     d_lr_scale: float = 1.0             # discriminator LR multiplier (<1 slows
                                         # D to prevent late-run overpowering)
+    d_acc_gate: float = 0.0             # if >0: apply the D update only while
+                                        # its (mesh-synced) batch accuracy is
+                                        # below this threshold — an automatic
+                                        # D/G balance controller that prevents
+                                        # the late-run d_acc=1.0 saturation the
+                                        # reference's fixed schedule drifts
+                                        # into (its run stays oscillating,
+                                        # ref bbhMahoGANy.py:1241-1382; ours
+                                        # must too on a 500k schedule)
     d_instance_noise: float = 0.0       # σ of fresh noise added to BOTH real
                                         # and fake D inputs (instance noise —
                                         # blurs the trivial real/fake
@@ -58,6 +74,12 @@ class GANConfig:
                                         # scheme; natural value = n_sig, the
                                         # measurement noise)
     g_steps_per_iter: int = 1           # adversarial G updates per iteration
+    diversity_weight: float = 0.0       # mode-seeking regularizer weight
+                                        # (Mao et al. 2019): penalize
+                                        # 1/(mean|G(za)−G(zb)| / mean|za−zb|)
+                                        # so distinct latents map to distinct
+                                        # waveforms — counters the posterior
+                                        # over-narrowing of a collapsing G
     g_ema_decay: float = 0.0            # exponential moving average of G
                                         # params for sampling (0 = off);
                                         # damps the adversarial oscillation
@@ -84,6 +106,47 @@ class GANState(struct.PyTreeNode):
     g_res_opt: Any
     g_ema: Any
     step: jnp.ndarray
+
+
+class GANKnobs(struct.PyTreeNode):
+    """Continuous training-control knobs, passed as TRACED operands so every
+    knob setting shares one compiled XLA program (compiles cost 5–15 min on
+    this backend — NOTES-TPU.md #3; sweeping baked constants would recompile
+    per value)."""
+
+    d_acc_gate: jnp.ndarray       # D updates only while d_acc < gate; ≥1 ⇒ off
+    diversity_weight: jnp.ndarray
+    res_loss_weight: jnp.ndarray
+
+
+def knobs_from_cfg(cfg: "GANConfig") -> GANKnobs:
+    return GANKnobs(
+        d_acc_gate=jnp.asarray(cfg.d_acc_gate if cfg.d_acc_gate > 0 else 2.0,
+                               jnp.float32),
+        diversity_weight=jnp.asarray(cfg.diversity_weight, jnp.float32),
+        res_loss_weight=jnp.asarray(cfg.res_loss_weight, jnp.float32),
+    )
+
+
+class GANBatch(struct.PyTreeNode):
+    """All random draws of one GAN iteration, materialized.
+
+    Concatenating per-device batches along the batch axis yields the global
+    batch of the equivalent single-device step (the DP-math invariant)."""
+
+    z1: jnp.ndarray          # (B, latent) D-step latents
+    real: jnp.ndarray        # (B, n_pix) bank gather (tiled over n_noise_real)
+    fresh: jnp.ndarray       # (B, n_pix) fresh N(0, n_sig) real-pair channel
+    in_real: Any             # instance noise on real D input (or None)
+    in_fake: Any             # instance noise on fake D input (or None)
+    y_real: jnp.ndarray      # (B,) real labels (smoothed or 1s)
+    y_fake: jnp.ndarray      # (B,) fake labels (smoothed or 0s)
+    z2: Any                  # (B, latent) residual-route latents (or None)
+    z3: jnp.ndarray          # (S, B, latent) adversarial G-step latents
+    kfake: jnp.ndarray       # dropout key, D-step fake generation
+    kd: jnp.ndarray          # dropout key, D step
+    kres: jnp.ndarray        # dropout key, residual route
+    kg: jnp.ndarray          # (S, 2) dropout keys for G steps (G, D applies)
 
 
 def _adam(cfg: GANConfig):
@@ -131,64 +194,110 @@ def _apply_g(generator, params, stats, z, rng, train):
     return out, stats
 
 
-def _d_inputs(x_gen, real, measured, noise_key, cfg: GANConfig):
+def draw_gan_batch(key: jax.Array, bank: jnp.ndarray, cfg: GANConfig) -> GANBatch:
+    """Consume all of one iteration's randomness (distinct key per consumer).
+
+    bank: (N_bank, n_pix) device-resident whitened templates."""
+    B = cfg.batch_size * cfg.n_noise_real
+    (k_z1, k_idx, k_fresh, k_inr, k_inf, k_yr, k_yf, k_z2, k_z3,
+     k_fake, k_kd, k_kres, k_kg) = jax.random.split(key, 13)
+
+    z1 = jax.random.uniform(k_z1, (B, cfg.latent_dim),
+                            minval=cfg.latent_low, maxval=cfg.latent_high)
+    ridx = jax.random.randint(k_idx, (cfg.batch_size,), 0, bank.shape[0])
+    real = jnp.tile(bank[ridx], (cfg.n_noise_real, 1))
+    fresh = jax.random.normal(k_fresh, real.shape, real.dtype) * cfg.n_sig
+
+    d_ch = 2 if cfg.pair_discriminator else 1
+    in_shape = (B, real.shape[1], d_ch)
+    if cfg.d_instance_noise > 0.0:
+        in_real = cfg.d_instance_noise * jax.random.normal(k_inr, in_shape)
+        in_fake = cfg.d_instance_noise * jax.random.normal(k_inf, in_shape)
+    else:
+        in_real = in_fake = None
+
+    if cfg.label_smoothing:
+        y_real = jax.random.uniform(k_yr, (B,), minval=0.7, maxval=1.0)
+        y_fake = jax.random.uniform(k_yf, (B,), minval=0.0, maxval=0.3)
+    else:
+        y_real = jnp.ones((B,), jnp.float32)
+        y_fake = jnp.zeros((B,), jnp.float32)
+
+    z2 = (jax.random.uniform(k_z2, (B, cfg.latent_dim),
+                             minval=cfg.latent_low, maxval=cfg.latent_high)
+          if cfg.residual_route else None)
+    S = max(1, cfg.g_steps_per_iter)
+    z3 = jax.random.uniform(k_z3, (S, B, cfg.latent_dim),
+                            minval=cfg.latent_low, maxval=cfg.latent_high)
+    return GANBatch(
+        z1=z1, real=real, fresh=fresh, in_real=in_real, in_fake=in_fake,
+        y_real=y_real, y_fake=y_fake, z2=z2, z3=z3,
+        kfake=k_fake, kd=k_kd, kres=k_kres,
+        kg=jax.random.split(k_kg, S * 2).reshape(S, 2, 2),
+    )
+
+
+def _d_inputs(x_gen, batch: GANBatch, measured, cfg: GANConfig):
     """Assemble D inputs: fake/real pairs for the subtraction scheme
     (ref pair assembly: bbhMahoGANy.py:1267-1289) or raw series (burst)."""
     if cfg.pair_discriminator:
-        fresh = jax.random.normal(noise_key, real.shape, real.dtype) * cfg.n_sig
         fake = jnp.stack([x_gen, measured[None, :] - x_gen], axis=-1)
-        realp = jnp.stack([real, fresh], axis=-1)
-        return fake, realp
-    return x_gen[..., None], real[..., None]
+        realp = jnp.stack([batch.real, batch.fresh], axis=-1)
+    else:
+        fake, realp = x_gen[..., None], batch.real[..., None]
+    if batch.in_real is not None:
+        realp = realp + batch.in_real
+        fake = fake + batch.in_fake
+    return fake, realp
 
 
-def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax.Array,
-             *, generator, discriminator, cfg: GANConfig, axis_name: str | None = None):
-    """One full alternating GAN iteration. Pure; jit/shard_map-ready.
+def _where_tree(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
-    bank: (N_bank, n_pix) device-resident whitened templates.
-    measured: (n_pix,) the measured event h(t).
-    Returns (new_state, metrics).
-    """
-    B = cfg.batch_size * cfg.n_noise_real
-    k = jax.random.split(key, 14)
+
+def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
+               knobs: GANKnobs | None = None, *, generator, discriminator,
+               cfg: GANConfig, axis_name: str | None = None):
+    """Deterministic half of the step: given a drawn batch, run the D update,
+    the optional residual-moment update, and the G update(s).
+
+    Pure; jit/shard_map-ready. Returns (new_state, metrics)."""
+    if knobs is None:
+        knobs = knobs_from_cfg(cfg)
+    B = batch.z1.shape[0]
     psum = (lambda t: jax.lax.pmean(t, axis_name)) if axis_name else (lambda t: t)
 
     # ---------------- discriminator step --------------------------------
-    z1 = jax.random.uniform(k[0], (B, cfg.latent_dim), minval=cfg.latent_low, maxval=cfg.latent_high)
     if cfg.d_sees_train_mode:
         # train-mode fake (dropout active), but without committing the BN
         # stat update — the D step must not advance generator state
-        x_fake, _ = _apply_g(generator, state.g_params, state.g_stats, z1, k[1], train=True)
+        x_fake, _ = _apply_g(generator, state.g_params, state.g_stats,
+                             batch.z1, batch.kfake, train=True)
     else:
-        x_fake, _ = _apply_g(generator, state.g_params, state.g_stats, z1, k[1], train=False)
+        x_fake, _ = _apply_g(generator, state.g_params, state.g_stats,
+                             batch.z1, batch.kfake, train=False)
     x_fake = x_fake.reshape(B, -1)
-
-    ridx = jax.random.randint(k[2], (cfg.batch_size,), 0, bank.shape[0])
-    real = jnp.tile(bank[ridx], (cfg.n_noise_real, 1))
-    fake_in, real_in = _d_inputs(x_fake, real, measured, k[3], cfg)
-    if cfg.d_instance_noise > 0.0:
-        kn1, kn2 = jax.random.split(k[3])
-        real_in = real_in + cfg.d_instance_noise * jax.random.normal(kn1, real_in.shape, real_in.dtype)
-        fake_in = fake_in + cfg.d_instance_noise * jax.random.normal(kn2, fake_in.shape, fake_in.dtype)
-
-    if cfg.label_smoothing:
-        y_real = jax.random.uniform(k[4], (B,), minval=0.7, maxval=1.0)
-        y_fake = jax.random.uniform(k[5], (B,), minval=0.0, maxval=0.3)
-    else:
-        y_real, y_fake = 1.0, 0.0
+    fake_in, real_in = _d_inputs(x_fake, batch, measured, cfg)
 
     def d_loss_fn(d_params):
-        lr_ = discriminator.apply({"params": d_params}, real_in, train=True, rngs={"dropout": k[6]})
-        lf_ = discriminator.apply({"params": d_params}, fake_in, train=True, rngs={"dropout": k[6]})
-        loss = 0.5 * (L.bce_with_logits(lr_, y_real) + L.bce_with_logits(lf_, y_fake))
+        lr_ = discriminator.apply({"params": d_params}, real_in, train=True,
+                                  rngs={"dropout": batch.kd})
+        lf_ = discriminator.apply({"params": d_params}, fake_in, train=True,
+                                  rngs={"dropout": batch.kd})
+        loss = 0.5 * (L.bce_with_logits(lr_, batch.y_real) + L.bce_with_logits(lf_, batch.y_fake))
         acc = 0.5 * (L.binary_accuracy(lr_, 1.0) + L.binary_accuracy(lf_, 0.0))
         return loss, acc
 
     (d_loss, d_acc), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
     d_grads = psum(d_grads)
-    d_upd, d_opt = _adam_d(cfg).update(d_grads, state.d_opt, state.d_params)
-    d_params = optax.apply_updates(state.d_params, d_upd)
+    d_acc = psum(d_acc)  # mesh-synced so the balance gate agrees everywhere
+    d_upd, d_opt_new = _adam_d(cfg).update(d_grads, state.d_opt, state.d_params)
+    d_params_new = optax.apply_updates(state.d_params, d_upd)
+    # automatic D/G balance: skip the D update while D already wins
+    # (gate ≥ 1.0 ⇒ always update, the reference's fixed schedule)
+    gate = d_acc < knobs.d_acc_gate
+    d_params = _where_tree(gate, d_params_new, state.d_params)
+    d_opt = _where_tree(gate, d_opt_new, state.d_opt)
 
     g_params, g_stats = state.g_params, state.g_stats
     g_res_opt = state.g_res_opt
@@ -196,12 +305,11 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
 
     # ---------------- residual-moment route (burst scheme) --------------
     if cfg.residual_route:
-        z2 = jax.random.uniform(k[7], (B, cfg.latent_dim), minval=cfg.latent_low, maxval=cfg.latent_high)
-
         def res_loss_fn(gp):
-            x, new_stats = _apply_g(generator, gp, g_stats, z2, k[10], train=True)
+            x, new_stats = _apply_g(generator, gp, g_stats, batch.z2,
+                                    batch.kres, train=True)
             resid = measured[None, :, None] - x
-            return L.residual_moment_loss(resid, cfg.n_sig), new_stats
+            return knobs.res_loss_weight * L.residual_moment_loss(resid, cfg.n_sig), new_stats
 
         (res_loss, new_stats), r_grads = jax.value_and_grad(res_loss_fn, has_aux=True)(g_params)
         r_grads = psum(r_grads)
@@ -213,11 +321,9 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
     g_opt = state.g_opt
     g_loss = jnp.zeros(())
     g_acc = jnp.zeros(())
-    for s in range(max(1, cfg.g_steps_per_iter)):
-        kz = jax.random.fold_in(k[8], s)
-        kd_ = jax.random.fold_in(k[9], s)
-        kdrop = jax.random.fold_in(k[11], s)
-        z3 = jax.random.uniform(kz, (B, cfg.latent_dim), minval=cfg.latent_low, maxval=cfg.latent_high)
+    for s in range(batch.z3.shape[0]):
+        z3 = batch.z3[s]
+        kdrop, kd_ = batch.kg[s, 0], batch.kg[s, 1]
 
         def g_loss_fn(gp):
             x, new_stats = _apply_g(generator, gp, g_stats, z3, kdrop, train=True)
@@ -226,11 +332,20 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
                 d_in = jnp.stack([xf, measured[None, :] - xf], axis=-1)
             else:
                 d_in = x if x.ndim == 3 else xf[..., None]
-            logits = discriminator.apply({"params": d_params}, d_in, train=True, rngs={"dropout": kd_})
+            logits = discriminator.apply({"params": d_params}, d_in, train=True,
+                                         rngs={"dropout": kd_})
             if cfg.chi_loss:
                 loss = L.chisquare_loss(jax.nn.sigmoid(logits), 1.0, cfg.n_sig)
             else:
                 loss = L.bce_with_logits(logits, 1.0)
+            # mode-seeking term (Mao et al. 2019): distinct latents must
+            # map to distinct waveforms; guards posterior dispersion
+            # (weight 0 ⇒ exact no-op gradient; the ratio denominator is
+            # bounded below by 1e-5 so the term never produces NaN)
+            h = B // 2
+            num = jnp.mean(jnp.abs(xf[:h] - xf[h : 2 * h]))
+            den = jnp.mean(jnp.abs(z3[:h] - z3[h : 2 * h])) + 1e-8
+            loss = loss + knobs.diversity_weight / (num / den + 1e-5)
             acc = L.binary_accuracy(logits, 1.0)
             return loss, (acc, new_stats)
 
@@ -257,45 +372,66 @@ def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax
         step=state.step + 1,
     )
     metrics = {
-        "d_loss": psum(d_loss), "d_acc": psum(d_acc),
+        "d_loss": psum(d_loss), "d_acc": d_acc,
         "g_loss": psum(g_loss), "g_acc": psum(g_acc),
         "res_loss": psum(res_loss),
     }
     return new_state, metrics
 
 
+def gan_step(state: GANState, bank: jnp.ndarray, measured: jnp.ndarray, key: jax.Array,
+             knobs: GANKnobs | None = None, *, generator, discriminator,
+             cfg: GANConfig, axis_name: str | None = None):
+    """One full alternating GAN iteration. Pure; jit/shard_map-ready.
+
+    bank: (N_bank, n_pix) device-resident whitened templates.
+    measured: (n_pix,) the measured event h(t).
+    Returns (new_state, metrics).
+    """
+    batch = draw_gan_batch(key, bank, cfg)
+    return gan_update(state, batch, measured, knobs, generator=generator,
+                      discriminator=discriminator, cfg=cfg, axis_name=axis_name)
+
+
 def make_gan_step(generator, discriminator, cfg: GANConfig, mesh=None):
     """Build the jitted train step; with a mesh, a shard_map data-parallel
     step (bank sharded over 'data', state replicated, grads pmean'd on ICI).
 
-    The data-parallel step takes the same (state, bank, measured, key)
-    signature; each device folds the key by its mesh position so latent/bank
-    draws decorrelate across the mesh.
+    The continuous knobs (d_acc_gate, diversity_weight, res_loss_weight) are
+    bound as device operands at call time, so every knob setting reuses one
+    compiled program (NOTES-TPU.md #3). The returned step keeps the
+    (state, bank, measured, key) signature.
+
+    The data-parallel step folds the key by mesh position on each device so
+    latent/bank draws decorrelate across the mesh.
     """
+    knob_vals = knobs_from_cfg(cfg)
+
     if mesh is None:
-        return jax.jit(
+        jitted = jax.jit(
             partial(gan_step, generator=generator, discriminator=discriminator, cfg=cfg)
         )
+        return lambda state, bank, measured, key: jitted(state, bank, measured, key, knob_vals)
 
     from jax.sharding import PartitionSpec as P
 
-    def sharded(state, bank, measured, key):
+    def sharded(state, bank, measured, key, knobs):
         dev = jax.lax.axis_index("data")
         key = jax.random.fold_in(key, dev)
         return gan_step(
-            state, bank, measured, key,
+            state, bank, measured, key, knobs,
             generator=generator, discriminator=discriminator, cfg=cfg,
             axis_name="data",
         )
 
-    step = jax.shard_map(
+    step = jax.jit(jax.shard_map(
         sharded,
         mesh=mesh,
-        in_specs=(P(), P("data"), P(), P()),
+        in_specs=(P(), P("data"), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    return jax.jit(step)
+    ))
+    return lambda state, bank, measured, key: step(state, bank, measured, key, knob_vals)
 
 
 _SAMPLE_FN_CACHE: dict = {}
@@ -315,7 +451,8 @@ def _sample_fn(generator, dropout: bool):
 
 
 def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GANConfig,
-                     chunk: int = 256, dropout: bool = False, use_ema: bool = True):
+                     chunk: int = 256, dropout: bool = False, use_ema: bool = True,
+                     temp: float = 1.0):
     """Draw n waveform estimates from the trained generator.
 
     ``dropout=False`` is the reference's generator.predict behavior
@@ -325,18 +462,24 @@ def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GA
     dropout as the variational sampler and restores posterior dispersion
     that latent variation alone under-represents.
 
+    ``temp`` scales the latent draw about the range midpoint (temperature):
+    >1 widens posterior dispersion, <1 narrows it.
+
     Chunked so large posterior draws (4000 samples through a generator with
     1024-channel activations) never exceed HBM — Keras predict auto-batched;
     here chunks reuse one compiled program of static shape.
     """
     fn = _sample_fn(generator, dropout)
     params = state.g_ema if (use_ema and cfg.g_ema_decay > 0.0) else state.g_params
+    center = 0.5 * (cfg.latent_low + cfg.latent_high)
     outs = []
     done = 0
     while done < n:
-        key, sub = jax.random.split(key)
-        z = jax.random.uniform(sub, (chunk, cfg.latent_dim),
+        key, kz, kdrop = jax.random.split(key, 3)
+        z = jax.random.uniform(kz, (chunk, cfg.latent_dim),
                                minval=cfg.latent_low, maxval=cfg.latent_high)
-        outs.append(fn(params, state.g_stats, z, sub).reshape(chunk, -1))
+        if temp != 1.0:
+            z = center + temp * (z - center)
+        outs.append(fn(params, state.g_stats, z, kdrop).reshape(chunk, -1))
         done += chunk
     return jnp.concatenate(outs, axis=0)[:n]

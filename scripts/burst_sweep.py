@@ -1,0 +1,71 @@
+"""Burst-smoke experiment sweep — posterior-quality recipe search on TPU.
+
+Round-2 goal (VERDICT #1): final-state grid overlap ≥ 0.9 × the measured CNN
+sanity bound (~0.98) across 3 seeds. Each variant is one full
+run_burst_smoke; results append to out/sweeps/results.jsonl.
+
+Usage: python scripts/burst_sweep.py VARIANT [SEED] [ITERS]
+"""
+
+import json
+import os
+import sys
+import time
+from dataclasses import replace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gennet_tpu.cli.workloads import BurstSmokeConfig, run_burst_smoke
+
+BASE = BurstSmokeConfig(plots=False, cadence=500)
+
+VARIANTS = {
+    # round-1 recipe re-run under the refactored step (parity check)
+    "base": {},
+    # adaptive D/G balance: D updates only while its accuracy < gate
+    "gate90": {"d_acc_gate": 0.90},
+    "gate75": {"d_acc_gate": 0.75},
+    "gate60": {"d_acc_gate": 0.60},
+    # mode-seeking diversity regularizer on G
+    "div05": {"diversity_weight": 0.05},
+    "div20": {"diversity_weight": 0.2},
+    # snapshot-ensemble posterior over a long horizon (states 2.5k iters apart)
+    "snap8": {"n_snapshots": 8, "snapshot_every": 5},
+    "snap16": {"n_snapshots": 16, "snapshot_every": 5},
+    # per-sample CNN max normalization (train + posterior consistent)
+    "psmax": {"per_sample_max": True},
+    # residual-moment weight
+    "resw3": {"res_loss_weight": 3.0},
+    # latent temperature on posterior draws
+    "temp15": {"posterior_temp": 1.5},
+    # combinations
+    "gate90_snap8": {"d_acc_gate": 0.90, "n_snapshots": 8, "snapshot_every": 5},
+    "gate75_snap8": {"d_acc_gate": 0.75, "n_snapshots": 8, "snapshot_every": 5},
+    "gate75_div05": {"d_acc_gate": 0.75, "diversity_weight": 0.05},
+    "gate75_snap8_psmax": {"d_acc_gate": 0.75, "n_snapshots": 8,
+                           "snapshot_every": 5, "per_sample_max": True},
+}
+
+
+def main():
+    name = sys.argv[1]
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else BASE.gan_iters
+    cfg = replace(BASE, **VARIANTS[name], seed=seed, gan_iters=iters,
+                  out_dir=f"out/sweeps/{name}_s{seed}")
+    t0 = time.time()
+    out = run_burst_smoke(cfg)
+    row = {
+        "variant": name, "seed": seed, "iters": iters,
+        "grid_overlap_final": out["grid_overlap"],
+        "grid_overlap_best": out["grid_overlap_best"],
+        "whiteness": out["whiteness"], "rms": out["rms"],
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open("out/sweeps/results.jsonl", "a") as fh:
+        fh.write(json.dumps(row) + "\n")
+    print("SWEEP RESULT:", json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,86 @@ def test_whiteness_score_rejects_structured_residual():
     resid = rng.normal(size=(64, 1024)) + 3.0 * leftover[None, :]
     s = whiteness_score(resid)
     assert s["ljung_box_pass"] < 0.5
+
+
+@pytest.mark.slow
+def test_bbh_grid_posterior_peaks_at_truth():
+    """The synthetic-event exact grid posterior (β-by-default reference cloud)
+    must peak at the injected template's (mc, q)."""
+    from gennet_tpu.data import template_bank as tb
+    from gennet_tpu.eval import grid_posterior as gp
+    from gennet_tpu.physics import priors
+    from gennet_tpu.physics import psd as psd_mod
+
+    cfg = tb.BankConfig()
+    psd = psd_mod.analytic_advligo_psd(cfg.fs, cfg.T_obs * cfg.safe)
+    signal, measured, norm = tb.make_event(jax.random.PRNGKey(0), psd, cfg)
+    sigma = float(np.std(np.asarray(measured) - np.asarray(signal)))
+    mc_t, _ = priors.chirp_mass_eta(cfg.tmpl_m1, cfg.tmpl_m2)
+    q_t = cfg.tmpl_m2 / cfg.tmpl_m1
+
+    L, gmc, gq = gp.bbh_grid_posterior(
+        measured, psd, cfg, float(norm), sigma, grain=15,
+        mc_range=(float(mc_t) - 3.0, float(mc_t) + 3.0), q_range=(0.55, 1.0),
+    )
+    L = np.asarray(L)  # (q, mc)
+    assert np.isfinite(L).all() and L.max() == 1.0
+    iq, imc = np.unravel_index(np.argmax(L), L.shape)
+    dmc = gmc[1] - gmc[0]
+    dq = gq[1] - gq[0]
+    assert abs(gmc[imc] - float(mc_t)) <= 2.0 * dmc
+    assert abs(gq[iq] - q_t) <= 5.0 * dq
+
+
+def test_sample_grid_posterior_matches_grid():
+    from gennet_tpu.eval import grid_posterior as gp
+
+    gx = np.linspace(0.0, 1.0, 31)
+    gy = np.linspace(2.0, 3.0, 31)
+    X, Y = np.meshgrid(gx, gy, indexing="ij")
+    L = np.exp(-0.5 * (((X - 0.4) / 0.1) ** 2 + ((Y - 2.7) / 0.05) ** 2)).T  # (y, x)
+    s = gp.sample_grid_posterior(L, gx, gy, 4000, seed=1)
+    assert s.shape == (4000, 2)
+    np.testing.assert_allclose(s[:, 0].mean(), 0.4, atol=0.02)
+    np.testing.assert_allclose(s[:, 1].mean(), 2.7, atol=0.02)
+    np.testing.assert_allclose(s[:, 0].std(), 0.1, rtol=0.2)
+
+
+def test_plot_suite_writes_files(tmp_path):
+    """Direct tests of every plotting entry point (signature drift would
+    otherwise only surface inside a long workload)."""
+    from gennet_tpu.eval import plots as P
+
+    out = str(tmp_path)
+    rng = np.random.default_rng(0)
+    hist = {"d_loss": rng.random(50), "g_loss": rng.random(50),
+            "d_acc": rng.random(50), "g_acc": rng.random(50)}
+    P.plot_losses(hist, out)
+    assert (tmp_path / "losses.png").exists()
+
+    true_p = rng.uniform(0, 1, (100, 2))
+    est_p = true_p + 0.01 * rng.standard_normal((100, 2))
+    P.plot_pe_accuracy(true_p, est_p, out)
+    assert (tmp_path / "pe_accuracy.png").exists()
+
+    samples = rng.standard_normal((200, 2)) * 0.1 + [0.5, 0.5]
+    ref = rng.standard_normal((200, 2)) * 0.1 + [0.52, 0.48]
+    gx = np.linspace(0, 1, 21)
+    gy = np.linspace(0, 1, 21)
+    L = rng.random((21, 21))
+    beta = P.plot_pe_samples(samples, (0.5, 0.5), out, 7, ref_samples=ref,
+                             pe_std=(0.05, 0.05), grid=(L, gx, gy))
+    assert (tmp_path / "pe_samples00007.png").exists()
+    assert (tmp_path / "latest" / "pe_samples.png").exists()
+    assert beta is not None and 0.0 <= beta <= 1.0
+
+    sig = np.sin(np.linspace(0, 20, 256))
+    meas = sig + 0.1 * rng.standard_normal(256)
+    gen = sig[None, :] + 0.05 * rng.standard_normal((30, 256))
+    P.plot_waveform_est(sig, meas, gen, out, 3)
+    P.plot_waveform_est(sig, meas, gen, out, 3, zoom=(100, 150))
+    assert (tmp_path / "waveform_results00003.png").exists()
+    assert (tmp_path / "waveform_zoomed_results00003.png").exists()
+
+    P.plot_beta_history([0.1, 0.3, 0.5], [100, 200, 300], out)
+    assert (tmp_path / "beta_hist.png").exists()

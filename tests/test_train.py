@@ -1,6 +1,7 @@
 """Train-step tests: shapes, finiteness, determinism, and data-parallel
 equivalence on the virtual CPU mesh (SURVEY.md §4 multi-chip test story)."""
 
+import flax.linen as nn
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -83,6 +84,132 @@ def test_gan_dp_single_device_mesh_matches_unsharded(burst_setup):
     la = jax.tree_util.tree_leaves(s_a.d_params)[0]
     lb = jax.tree_util.tree_leaves(s_b.d_params)[0]
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-7)
+
+
+class _PlainG(nn.Module):
+    """Dropout/BN-free generator so the DP-math invariant is exact (dropout
+    masks and batch-norm statistics are per-device by construction in DP)."""
+
+    n_out: int = N_PIX
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        x = nn.tanh(nn.Dense(64)(z))
+        x = nn.Dense(self.n_out)(x)
+        return x[..., None]
+
+
+class _PlainD(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.tanh(nn.Conv(8, (5,), strides=(2,), padding="SAME")(x))
+        return nn.Dense(1)(x.reshape(x.shape[0], -1))
+
+
+def _concat_gan_batches(batches):
+    """Concatenate per-device GANBatch pytrees along the batch axis: the
+    global batch of the mathematically-equivalent single-device step."""
+    b0 = batches[0]
+    return gan_mod.GANBatch(
+        z1=jnp.concatenate([b.z1 for b in batches], axis=0),
+        real=jnp.concatenate([b.real for b in batches], axis=0),
+        fresh=jnp.concatenate([b.fresh for b in batches], axis=0),
+        in_real=(None if b0.in_real is None
+                 else jnp.concatenate([b.in_real for b in batches], axis=0)),
+        in_fake=(None if b0.in_fake is None
+                 else jnp.concatenate([b.in_fake for b in batches], axis=0)),
+        y_real=jnp.concatenate([b.y_real for b in batches], axis=0),
+        y_fake=jnp.concatenate([b.y_fake for b in batches], axis=0),
+        z2=(None if b0.z2 is None
+            else jnp.concatenate([b.z2 for b in batches], axis=0)),
+        z3=jnp.concatenate([b.z3 for b in batches], axis=1),
+        kfake=b0.kfake, kd=b0.kd, kres=b0.kres, kg=b0.kg,  # unused: no dropout
+    )
+
+
+def test_gan_dp_8_matches_global_batch():
+    """The DP-math invariant (SURVEY §4): an 8-shard pmean'd GAN step equals
+    a single-device step on the concatenation of the 8 per-device batches,
+    to float32 tolerance. Exercises pair-D, residual route, label smoothing,
+    instance noise, the d_acc gate, and 2 G steps per iteration."""
+    from functools import partial
+
+    n_dev = 8
+    cfg = GANConfig(
+        n_pix=N_PIX, batch_size=4, pair_discriminator=True,
+        residual_route=True, n_sig=0.25, lr=2e-4,
+        label_smoothing=True, d_instance_noise=0.3,
+        d_acc_gate=0.9, g_steps_per_iter=2, d_lr_scale=0.5,
+    )
+    G, D = _PlainG(), _PlainD()
+    state = init_gan(jax.random.PRNGKey(0), G, D, cfg)
+    bank = jax.random.normal(jax.random.PRNGKey(1), (64, N_PIX))
+    measured = jax.random.normal(jax.random.PRNGKey(2), (N_PIX,))
+    key = jax.random.PRNGKey(5)
+
+    mesh = data_mesh(n_dev)
+    dp = make_gan_step(G, D, cfg, mesh=mesh)
+    s_dp, m_dp = dp(state, bank, measured, key)
+
+    # reference: replicate the per-device draws exactly (same key folding,
+    # same bank shards), concatenate, run one unsharded update
+    shards = bank.reshape(n_dev, -1, N_PIX)
+    batches = [
+        gan_mod.draw_gan_batch(jax.random.fold_in(key, d), shards[d], cfg)
+        for d in range(n_dev)
+    ]
+    global_batch = _concat_gan_batches(batches)
+    update = jax.jit(partial(gan_mod.gan_update, generator=G, discriminator=D, cfg=cfg))
+    s_ref, m_ref = update(state, global_batch, measured)
+
+    for name in ("d_loss", "d_acc", "g_loss", "res_loss"):
+        np.testing.assert_allclose(float(m_dp[name]), float(m_ref[name]),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+    for tree_name in ("g_params", "d_params"):
+        a = jax.tree_util.tree_leaves(getattr(s_dp, tree_name))
+        b = jax.tree_util.tree_leaves(getattr(s_ref, tree_name))
+        for la, lb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-4, atol=1e-6, err_msg=tree_name)
+
+
+def test_cnn_dp_8_matches_global_batch():
+    """Same invariant for the CNN PE step (dropout-free model)."""
+    from functools import partial
+
+    class PlainPE(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.tanh(nn.Conv(8, (5,), strides=(2,), padding="SAME")(x))
+            return nn.Dense(2)(x.reshape(x.shape[0], -1))
+
+    n_dev = 8
+    cfg = CNNConfig(n_pix=N_PIX, batch_size=4, noise_frac=0.25)
+    model = PlainPE()
+    state = init_cnn(jax.random.PRNGKey(0), model, cfg)
+    bank, pars = make_burst_bank(jax.random.PRNGKey(1), 64, N=N_PIX)
+    key = jax.random.PRNGKey(9)
+
+    dp = make_cnn_step(model, cfg, mesh=data_mesh(n_dev))
+    s_dp, m_dp = dp(state, bank, pars, key)
+
+    bank_sh = bank.reshape(n_dev, -1, N_PIX)
+    pars_sh = pars.reshape(n_dev, -1, pars.shape[-1])
+    xs, ys = [], []
+    for d in range(n_dev):
+        x, y, kdrop = cnn_mod.draw_cnn_batch(jax.random.fold_in(key, d),
+                                             bank_sh[d], pars_sh[d], cfg)
+        xs.append(x)
+        ys.append(y)
+    update = jax.jit(partial(cnn_mod.cnn_update, model=model, cfg=cfg))
+    s_ref, m_ref = update(state, jnp.concatenate(xs, 0), jnp.concatenate(ys, 0), kdrop)
+
+    np.testing.assert_allclose(float(m_dp["pe_loss"]), float(m_ref["pe_loss"]),
+                               rtol=1e-5, atol=1e-7)
+    for la, lb in zip(jax.tree_util.tree_leaves(s_dp.params),
+                      jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_gan_dp_8_device_mesh(burst_setup):

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-workload drivers: minutes each on CPU
+
 from gennet_tpu.cli.workloads import (
     BlobToyConfig,
     BurstSmokeConfig,
@@ -43,8 +45,11 @@ def test_bbh_workload_tiny(tmp_path):
 
     cfg = BBHConfig(
         training_num=24, pe_iters=2, gan_iters=2, cadence=1, pe_cadence=1,
-        n_posterior=8, ckpt_every=10_000,
+        eval_cadence=1, n_posterior=8, grid_grain=11, ckpt_every=10_000,
         out_dir=str(tmp_path / "bbh"), plots=False,
     )
     out = run_bbh(cfg)
     assert out["final_step"] >= 2
+    # β is reported by default via the synthetic-event exact grid posterior
+    assert out["beta"] is not None and 0.0 <= out["beta"] <= 1.0
+    assert out["cnn_sanity_beta"] is not None
