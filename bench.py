@@ -1,29 +1,34 @@
-"""Headline benchmark: whitened BBH template synthesis throughput.
+"""Headline benchmark: whitened BBH template synthesis throughput + GAN
+train-step throughput/MFU.
 
-Runs the fused on-device bank pipeline (gennet_tpu.data.template_bank) on
-the available accelerator and prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/target}
+Runs the fused on-device bank pipeline (gennet_tpu.data.template_bank) and
+the fused flagship GAN train step (gennet_tpu.train.gan) on the available
+accelerator and prints ONE final JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/target,
+     "gan_steps_per_sec": ..., "gan_achieved_tflops": ..., "gan_mfu": ...}
 
 Baseline target: 1e5 whitened templates/sec on v5e-8 (BASELINE.md). The
 reference generates templates in a serial host loop with one lalsimulation C
 call + two FFT whitens per template (ref: gw_template_maker.py:676-698) at
 O(1-10)/s; vs_baseline is measured against the driver's 1e5/s target, not
-the reference's host loop.
+the reference's host loop. The GAN metric covers BASELINE.json's "GAN train
+steps/sec": one full alternating iteration (D update + G update, batch 8,
+n_pix 1024, the reference's schedule at bbhMahoGANy.py:86-88) with 100
+iterations scan-fused per dispatch, exactly as run_bbh trains.
 """
 
 import json
 import time
+from functools import partial
 
 import jax
 
-TARGET = 1e5  # templates/sec (BASELINE.json:5, v5e-8)
+TARGET = 1e5          # templates/sec (BASELINE.json:5, v5e-8)
+PEAK_FLOPS = 197e12   # v5e per-chip bf16/MXU peak; JAX's default f32 matmul
+                      # precision on TPU executes on the MXU at this rate
 
 
-def main():
-    from gennet_tpu import runtime
-
-    runtime.setup()
-
+def bench_bank():
     from gennet_tpu.data import template_bank as tb
     from gennet_tpu.physics import psd as psd_mod
 
@@ -42,25 +47,93 @@ def main():
     else:
         run = lambda k: tb.make_template_batch(k, per_dev, psd, cfg)[0]
 
-    # compile + warmup
     t = run(key)
     t.block_until_ready()
 
     iters = 10
     t0 = time.perf_counter()
-    for i in range(iters):
+    for _ in range(iters):
         key, sub = jax.random.split(key)
         t = run(sub)
     t.block_until_ready()
     dt = time.perf_counter() - t0
+    return iters * per_dev * n_dev / dt
 
-    rate = iters * per_dev * n_dev / dt
-    print(json.dumps({
+
+def bench_gan_step():
+    """Flagship GAN step throughput + MFU (achieved FLOP/s vs MXU peak)."""
+    import jax.numpy as jnp
+
+    from gennet_tpu.cli.workloads import BBHConfig
+    from gennet_tpu.models import BBHGenerator, PairDiscriminator
+    from gennet_tpu.train import GANConfig, init_gan
+    from gennet_tpu.train import gan as gan_mod
+
+    b = BBHConfig()  # the exact flagship training configuration
+    cfg = GANConfig(n_pix=b.n_pix, batch_size=b.batch_size, lr=b.lr,
+                    chi_loss=b.chi_loss, n_sig=b.n_sig, pair_discriminator=True,
+                    label_smoothing=b.label_smoothing,
+                    d_instance_noise=b.instance_noise, d_lr_scale=b.d_lr_scale,
+                    d_acc_gate=b.d_acc_gate, diversity_weight=b.diversity_weight,
+                    g_ema_decay=b.g_ema_decay)
+    G, D = BBHGenerator(n_out=cfg.n_pix), PairDiscriminator()
+    state = init_gan(jax.random.PRNGKey(0), G, D, cfg)
+    bank = jax.random.normal(jax.random.PRNGKey(1), (4096, cfg.n_pix))
+    measured = jax.random.normal(jax.random.PRNGKey(2), (cfg.n_pix,))
+
+    # FLOPs of one iteration from the compiled single-step program
+    flops_per_step = None
+    try:
+        knobs = gan_mod.knobs_from_cfg(cfg)
+        single = jax.jit(partial(gan_mod.gan_step, generator=G, discriminator=D, cfg=cfg))
+        compiled = single.lower(state, bank, measured, jax.random.PRNGKey(3), knobs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    scan = 100  # matches run_bbh's cadence-fused inner loop
+    step = gan_mod.make_gan_step_scan(G, D, cfg, scan)
+    key = jax.random.PRNGKey(4)
+    state, m = step(state, bank, measured, key)  # compile + warmup
+    jax.block_until_ready(m)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, bank, measured, sub)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+
+    sps = reps * scan / dt
+    out = {"gan_steps_per_sec": round(sps, 2)}
+    if flops_per_step:
+        achieved = flops_per_step * sps
+        out["gan_flops_per_step"] = flops_per_step
+        out["gan_achieved_tflops"] = round(achieved / 1e12, 3)
+        out["gan_mfu"] = round(achieved / PEAK_FLOPS, 4)
+    return out
+
+
+def main():
+    from gennet_tpu import runtime
+
+    runtime.setup()
+
+    gan = bench_gan_step()
+    rate = bench_bank()
+
+    row = {
         "metric": "whitened_templates_per_sec",
         "value": round(rate, 1),
         "unit": "templates/s",
         "vs_baseline": round(rate / TARGET, 4),
-    }))
+    }
+    row.update(gan)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -124,10 +124,19 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                        max_per_sample=cfg.per_sample_max)
     pe_model = BurstPE()
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
-    pe_step = make_cnn_step(pe_model, pe_cfg, mesh=mesh)
-    for i in range(cfg.pe_iters):
+    pe_chunk = cfg.cadence if (cfg.cadence > 1 and cfg.pe_iters % cfg.cadence == 0) else 1
+    if pe_chunk > 1:
+        from gennet_tpu.train.cnn import make_cnn_step_scan
+
+        pe_step = make_cnn_step_scan(pe_model, pe_cfg, pe_chunk, mesh=mesh)
+    else:
+        pe_step = make_cnn_step(pe_model, pe_cfg, mesh=mesh)
+    for i0 in range(0, cfg.pe_iters, pe_chunk):
         key, sub = jax.random.split(key)
         pe_state, m = pe_step(pe_state, bank, pars, sub)
+        if pe_chunk > 1:
+            m = {k: v[-1] for k, v in m.items()}
+        i = i0 + pe_chunk if pe_chunk > 1 else i0
         if i % cfg.cadence == 0 and i > 0:
             log.log(i, m)
             print(log.status_line(i, m, log.steps_per_sec(i)))
@@ -150,7 +159,15 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     G = BurstGenerator(n_out=cfg.n_pix)
     D = BurstDiscriminator()
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
-    gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
+    # fuse one cadence of steps into a single dispatched program (the remote
+    # per-call latency otherwise dominates batch-64 step compute)
+    chunk = cfg.cadence if (cfg.cadence > 1 and cfg.gan_iters % cfg.cadence == 0) else 1
+    if chunk > 1:
+        from gennet_tpu.train.gan import make_gan_step_scan
+
+        gan_step_fn = make_gan_step_scan(G, D, gan_cfg, chunk, mesh=mesh)
+    else:
+        gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
 
     from collections import deque
 
@@ -177,9 +194,12 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     best_state = gan_state
     n_cad = 0
     log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
-    for i in range(cfg.gan_iters):
+    for i0 in range(0, cfg.gan_iters, chunk):
         key, sub = jax.random.split(key)
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub)
+        if chunk > 1:
+            m = {k: v[-1] for k, v in m.items()}
+        i = i0 + chunk if chunk > 1 else i0
         if i % cfg.cadence == 0 and i > 0:
             log.log(i, m)
             print(log.status_line(i, m, log.steps_per_sec(i)))
@@ -574,12 +594,24 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         restored, _ = pe_ckpt.restore(pe_state)
         if restored is not None:
             pe_state = restored
-    pe_step = make_cnn_step(pe_model, pe_cfg, mesh=mesh)
-
     start = int(pe_state.step)
-    for i in range(start, cfg.pe_iters):
+    pe_chunk = cfg.pe_cadence if (
+        cfg.pe_cadence > 1 and cfg.pe_iters % cfg.pe_cadence == 0
+        and cfg.ckpt_every % cfg.pe_cadence == 0 and start % cfg.pe_cadence == 0
+    ) else 1
+    if pe_chunk > 1:
+        from gennet_tpu.train.cnn import make_cnn_step_scan
+
+        pe_step = make_cnn_step_scan(pe_model, pe_cfg, pe_chunk, mesh=mesh)
+    else:
+        pe_step = make_cnn_step(pe_model, pe_cfg, mesh=mesh)
+
+    for i0 in range(start, cfg.pe_iters, pe_chunk):
         key, sub = jax.random.split(key)
         pe_state, m = pe_step(pe_state, bank, targets, sub)
+        if pe_chunk > 1:
+            m = {k: v[-1] for k, v in m.items()}
+        i = i0 + pe_chunk if pe_chunk > 1 else i0
         if i % cfg.pe_cadence == 0 and i > 0:
             log.log(i, m)
             print(log.status_line(i, m, log.steps_per_sec(i)))
@@ -640,7 +672,18 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         restored, _ = gan_ckpt.restore(gan_state)
         if restored is not None:
             gan_state = restored
-    gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
+    start = int(gan_state.step)
+    chunk = cfg.cadence if (
+        cfg.cadence > 1 and cfg.gan_iters % cfg.cadence == 0
+        and cfg.eval_cadence % cfg.cadence == 0
+        and cfg.ckpt_every % cfg.cadence == 0 and start % cfg.cadence == 0
+    ) else 1
+    if chunk > 1:
+        from gennet_tpu.train.gan import make_gan_step_scan
+
+        gan_step_fn = make_gan_step_scan(G, D, gan_cfg, chunk, mesh=mesh)
+    else:
+        gan_step_fn = make_gan_step(G, D, gan_cfg, mesh=mesh)
 
     from collections import deque
 
@@ -686,11 +729,13 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     beta_hist, beta_steps = [], []
     best_white, best_state = -1.0, gan_state
-    start = int(gan_state.step)
     log.steps_per_sec(start)  # reset the steps/sec window for the GAN phase
-    for i in range(start, cfg.gan_iters):
+    for i0 in range(start, cfg.gan_iters, chunk):
         key, sub = jax.random.split(key)
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub)
+        if chunk > 1:
+            m = {k: v[-1] for k, v in m.items()}
+        i = i0 + chunk if chunk > 1 else i0
         if i % cfg.cadence == 0 and i > 0:
             # cheap jitted metrics: ALWAYS logged, full-run observability
             log.log(i, m)

@@ -152,6 +152,36 @@ def make_cnn_step(model, cfg: CNNConfig, mesh=None):
     return jax.jit(step)
 
 
+def make_cnn_step_scan(model, cfg: CNNConfig, n_steps: int, mesh=None):
+    """``n_steps`` CNN iterations fused into one dispatched program via
+    lax.scan (relay-latency amortization — see make_gan_step_scan)."""
+
+    def many(state, bank, targets, key):
+        keys = jax.random.split(key, n_steps)
+
+        def body(st, k):
+            return cnn_step(st, bank, targets, k, model=model, cfg=cfg,
+                            axis_name="data" if mesh is not None else None)
+
+        return jax.lax.scan(body, state, keys)
+
+    if mesh is None:
+        return jax.jit(many)
+
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(state, bank, targets, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return many(state, bank, targets, key)
+
+    return jax.jit(jax.shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+
+
 _PREDICT_FN_CACHE: dict = {}
 
 

@@ -434,6 +434,51 @@ def make_gan_step(generator, discriminator, cfg: GANConfig, mesh=None):
     return lambda state, bank, measured, key: step(state, bank, measured, key, knob_vals)
 
 
+def make_gan_step_scan(generator, discriminator, cfg: GANConfig, n_steps: int,
+                       mesh=None):
+    """``n_steps`` GAN iterations fused into ONE dispatched program via
+    lax.scan — the workload inner loop.
+
+    Per-call dispatch over the remote device link costs 10–20 ms
+    (NOTES-TPU.md #4), comparable to the batch-8 step's compute, so chaining
+    cadence-many steps into one program removes ~n_steps× of relay latency.
+    The scan body is the same traced step, compiled once.
+
+    Returns step(state, bank, measured, key) → (state, metrics) where each
+    metric is stacked over the n_steps iterations (full-cadence
+    observability for free).
+    """
+    knob_vals = knobs_from_cfg(cfg)
+
+    def many(state, bank, measured, key, knobs):
+        keys = jax.random.split(key, n_steps)
+
+        def body(st, k):
+            return gan_step(st, bank, measured, k, knobs,
+                            generator=generator, discriminator=discriminator,
+                            cfg=cfg, axis_name="data" if mesh is not None else None)
+
+        return jax.lax.scan(body, state, keys)
+
+    if mesh is None:
+        jitted = jax.jit(many)
+        return lambda state, bank, measured, key: jitted(state, bank, measured, key, knob_vals)
+
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(state, bank, measured, key, knobs):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return many(state, bank, measured, key, knobs)
+
+    step = jax.jit(jax.shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    return lambda state, bank, measured, key: step(state, bank, measured, key, knob_vals)
+
+
 _SAMPLE_FN_CACHE: dict = {}
 
 

@@ -225,6 +225,60 @@ def test_gan_dp_8_device_mesh(burst_setup):
     assert not np.isnan(np.asarray(leaf)).any()
 
 
+def test_gan_step_scan_matches_sequential(burst_setup):
+    """The scan-fused multi-step program equals the same steps applied
+    sequentially with the same per-step keys (relay-latency amortization
+    must not change the math)."""
+    from functools import partial
+
+    cfg, G, D, state, bank, pars, measured = burst_setup
+    key = jax.random.PRNGKey(11)
+    scan3 = gan_mod.make_gan_step_scan(G, D, cfg, 3)
+    s_scan, m_scan = scan3(state, bank, measured, key)
+
+    step = jax.jit(partial(gan_mod.gan_step, generator=G, discriminator=D, cfg=cfg))
+    s_seq = state
+    keys = jax.random.split(key, 3)
+    for k in keys:
+        s_seq, m_seq = step(s_seq, bank, measured, k)
+
+    np.testing.assert_allclose(float(m_scan["g_loss"][-1]), float(m_seq["g_loss"]),
+                               rtol=1e-6)
+    # scan-compiled vs separately-jitted programs fuse differently; float32
+    # reassociation through Adam leaves ~1e-5-scale differences (lr here is
+    # 2e-4, so this is ~3% of one update on a handful of elements)
+    for la, lb in zip(jax.tree_util.tree_leaves(s_scan.g_params),
+                      jax.tree_util.tree_leaves(s_seq.g_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-3,
+                                   atol=5e-5)
+    assert int(s_scan.step) == int(s_seq.step) == 3
+    assert m_scan["d_loss"].shape == (3,)
+
+
+def test_cnn_step_scan_matches_sequential():
+    from functools import partial
+
+    cfg = CNNConfig(n_pix=N_PIX, batch_size=8, noise_frac=0.0)
+    model = BurstPE()
+    state = init_cnn(jax.random.PRNGKey(0), model, cfg)
+    bank, pars = make_burst_bank(jax.random.PRNGKey(1), 64, N=N_PIX)
+    key = jax.random.PRNGKey(4)
+
+    scan4 = cnn_mod.make_cnn_step_scan(model, cfg, 4)
+    s_scan, m_scan = scan4(state, bank, pars, key)
+
+    step = jax.jit(partial(cnn_mod.cnn_step, model=model, cfg=cfg))
+    s_seq = state
+    for k in jax.random.split(key, 4):
+        s_seq, _ = step(s_seq, bank, pars, k)
+
+    for la, lb in zip(jax.tree_util.tree_leaves(s_scan.params),
+                      jax.tree_util.tree_leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5,
+                                   atol=1e-7)
+    assert m_scan["pe_loss"].shape == (4,)
+
+
 def test_bbh_pair_gan_step():
     cfg = GANConfig(n_pix=N_PIX, batch_size=4, pair_discriminator=True)
     G = BBHGenerator(n_out=N_PIX, features=(32, 32, 32, 32, 32))
