@@ -55,7 +55,12 @@ def main(argv=None):
     p_bank.add_argument("--data-parallel", action="store_true")
     p_bank.add_argument("--lalinf-dir", type=str, default=None)
 
-    from gennet_tpu.cli.workloads import BBHConfig, BlobToyConfig, BurstSmokeConfig
+    from gennet_tpu.cli.workloads import (
+        BBHConfig,
+        BlobToyConfig,
+        BurstSmokeConfig,
+        ImageGANConfig,
+    )
 
     p_smoke = sub.add_parser("smoke", help="sine-Gaussian burst smoke workload")
     _add_dataclass_args(p_smoke, BurstSmokeConfig)
@@ -64,6 +69,10 @@ def main(argv=None):
     p_blob = sub.add_parser("blob-toy", help="gen-1 blob-image toy (PE + MC-dropout + image GAN)")
     _add_dataclass_args(p_blob, BlobToyConfig)
     p_blob.add_argument("--data-parallel", action="store_true")
+
+    p_img = sub.add_parser("image-gan", help="gen-1 image-directory GAN (face-image mode)")
+    _add_dataclass_args(p_img, ImageGANConfig)
+    p_img.add_argument("--data-parallel", action="store_true")
 
     for name, help_ in (("train-cnn", "train the CNN point estimator"),
                         ("train-gan", "train the GAN waveform estimator"),
@@ -78,6 +87,13 @@ def main(argv=None):
     p_samp.add_argument("--out", type=str, default="posterior.npz")
 
     args = parser.parse_args(argv)
+
+    # honor an explicit JAX_PLATFORMS=cpu even when the environment's
+    # sitecustomize pre-pinned the TPU platform (config wins over env there)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from gennet_tpu import runtime
 
@@ -130,6 +146,13 @@ def main(argv=None):
         from gennet_tpu.cli.workloads import run_blob_toy
 
         out = run_blob_toy(_build_dataclass(args, BlobToyConfig), mesh=_mesh(args))
+        print(json.dumps(out))
+        return
+
+    if args.cmd == "image-gan":
+        from gennet_tpu.cli.workloads import run_image_gan
+
+        out = run_image_gan(_build_dataclass(args, ImageGANConfig), mesh=_mesh(args))
         print(json.dumps(out))
         return
 

@@ -290,12 +290,7 @@ def run_blob_toy(cfg: BlobToyConfig, mesh=None):
     losses."""
     import optax
 
-    from gennet_tpu.models.image_models import (
-        ImageDiscriminator,
-        ImageGenerator,
-        ImageMCDropoutPE,
-        ImagePE,
-    )
+    from gennet_tpu.models.image_models import ImageMCDropoutPE, ImagePE
     from gennet_tpu.physics.blobs import blob_grid_posterior, make_blob_bank
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -379,36 +374,19 @@ def run_blob_toy(cfg: BlobToyConfig, mesh=None):
     print(f"MC-dropout posterior grid overlap: {mc_overlap:.4f}")
 
     # ---- image GAN (subtraction scheme on images) -----------------------
-    G = ImageGenerator(n_pix=cfg.n_pix)
-    D = ImageDiscriminator()
+    from gennet_tpu.models.image_models import FlatImageDiscriminator, FlatImageGenerator
+
     gan_cfg = GANConfig(n_pix=cfg.n_pix * cfg.n_pix, batch_size=cfg.batch_size,
                         lr=cfg.lr, n_sig=cfg.n_sig, pair_discriminator=False,
                         residual_route=True)
-    # image models take (B, n, n, 1); adapt via flatten wrappers
-    import flax.linen as nn
-
-    class FlatG(nn.Module):
-        inner: nn.Module = G
-        n_pix: int = cfg.n_pix
-
-        @nn.compact
-        def __call__(self, z, train=False):
-            img = self.inner(z, train=train)
-            return img.reshape((z.shape[0], -1, 1))
-
-    class FlatD(nn.Module):
-        inner: nn.Module = D
-        n_pix: int = cfg.n_pix
-
-        @nn.compact
-        def __call__(self, x, train=False):
-            img = x.reshape((x.shape[0], self.n_pix, self.n_pix, 1))
-            return self.inner(img, train=train)
-
+    # image models take (B, n, n, 1); the shared flatten wrappers adapt them
+    # to the 1-D GAN step
+    FlatG = FlatImageGenerator(n_pix=cfg.n_pix)
+    FlatD = FlatImageDiscriminator(n_pix=cfg.n_pix)
     flat_bank = bank.reshape(bank.shape[0], -1)
     flat_measured = measured.reshape(-1)
-    gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 3), FlatG(), FlatD(), gan_cfg)
-    gstep = make_gan_step(FlatG(), FlatD(), gan_cfg, mesh=mesh)
+    gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 3), FlatG, FlatD, gan_cfg)
+    gstep = make_gan_step(FlatG, FlatD, gan_cfg, mesh=mesh)
     gm = {}
     for i in range(cfg.gan_iters):
         key, sub = jax.random.split(key)
@@ -422,6 +400,93 @@ def run_blob_toy(cfg: BlobToyConfig, mesh=None):
         "pe_rms": rms,
         "mc_overlap": float(mc_overlap),
         "gan_d_loss": float(gm.get("d_loss", np.nan)),
+    }
+
+
+@dataclass
+class ImageGANConfig:
+    """Gen-1 image-directory GAN mode (ref: tests/ganymede.py:64,272-314 —
+    the face-image path over tests/data/gwbush/*.jpg; this repo commits a
+    deterministic 16-image stand-in fixture set under tests/data/images/,
+    regenerable via scripts/make_image_fixtures.py). The reference forbids
+    PE for non-parametric image signals (ganymede.py:59-61), so this
+    workload is GAN-only: recover a noisy measured image via the
+    subtraction-residual scheme."""
+
+    image_glob: str = "tests/data/images/*.jpg"
+    n_pix: int = 32                # resized image side (divisible by 4)
+    n_sig: float = 0.3
+    batch_size: int = 32
+    gan_iters: int = 2_000
+    lr: float = 2e-4
+    cadence: int = 100
+    flip: bool = True              # append horizontally-flipped copies
+    out_dir: str = "out/image_gan"
+    seed: int = 0
+    plots: bool = True
+
+
+def run_image_gan(cfg: ImageGANConfig, mesh=None):
+    """Image-directory GAN: load images, bury one in noise, train the
+    residual-route GAN to recover it. Returns losses + recovery corr."""
+    from gennet_tpu.data.images import load_image_dir
+    from gennet_tpu.models.image_models import FlatImageDiscriminator, FlatImageGenerator
+
+    key = jax.random.PRNGKey(cfg.seed)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    log = MetricLogger(cfg.out_dir, "image_gan")
+
+    imgs = load_image_dir(cfg.image_glob, cfg.n_pix, flip=cfg.flip)  # (N, n, n, 1)
+    bank = jnp.asarray(imgs.reshape(imgs.shape[0], -1))
+    k_noise, key = jax.random.split(key)
+    signal = bank[0]
+    measured = signal + cfg.n_sig * jax.random.normal(k_noise, signal.shape)
+
+    gan_cfg = GANConfig(n_pix=cfg.n_pix * cfg.n_pix, batch_size=cfg.batch_size,
+                        lr=cfg.lr, n_sig=cfg.n_sig, pair_discriminator=False,
+                        residual_route=True)
+    FlatG = FlatImageGenerator(n_pix=cfg.n_pix)
+    FlatD = FlatImageDiscriminator(n_pix=cfg.n_pix)
+    gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 1), FlatG, FlatD, gan_cfg)
+    gstep = make_gan_step(FlatG, FlatD, gan_cfg, mesh=mesh)
+
+    gm = {}
+    for i in range(cfg.gan_iters):
+        key, sub = jax.random.split(key)
+        gan_state, gm = gstep(gan_state, bank, measured, sub)
+        if i % cfg.cadence == 0 and i > 0:
+            log.log(i, gm)
+            print(log.status_line(i, gm, log.steps_per_sec(i)))
+
+    # recovery check: mean generated image vs the clean signal
+    key, sub = jax.random.split(key)
+    gen = sample_generator(FlatG, gan_state, sub, 64, gan_cfg)
+    mean_gen = np.asarray(jnp.mean(gen, axis=0))
+    sig_np = np.asarray(signal)
+    corr = float(np.corrcoef(mean_gen, sig_np)[0, 1])
+    if cfg.plots:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(9, 3))
+        for ax, (arr, title) in zip(axes, [
+            (sig_np, "signal"), (np.asarray(measured), "measured"),
+            (mean_gen, "mean generated"),
+        ]):
+            ax.imshow(arr.reshape(cfg.n_pix, cfg.n_pix), cmap="gray")
+            ax.set_title(title)
+            ax.axis("off")
+        fig.savefig(os.path.join(cfg.out_dir, "image_gan_recovery.png"), dpi=150)
+        plt.close(fig)
+
+    log.close()
+    return {
+        "n_images": int(bank.shape[0]),
+        "recovery_corr": corr,
+        "gan_d_loss": float(gm.get("d_loss", np.nan)),
+        "gan_g_loss": float(gm.get("g_loss", np.nan)),
     }
 
 

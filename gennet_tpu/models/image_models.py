@@ -51,6 +51,31 @@ class ImageDiscriminator(nn.Module):
         return nn.Dense(1)(x)  # logits
 
 
+class FlatImageGenerator(nn.Module):
+    """ImageGenerator emitting a flattened (B, n_pix², 1) series so the
+    image workloads plug into the shared 1-D GAN step unchanged (the
+    subtraction/residual math is elementwise and shape-agnostic)."""
+
+    n_pix: int = 28
+    latent_dim: int = 100
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        img = ImageGenerator(n_pix=self.n_pix, latent_dim=self.latent_dim)(z, train=train)
+        return img.reshape((z.shape[0], -1, 1))
+
+
+class FlatImageDiscriminator(nn.Module):
+    """ImageDiscriminator over flattened (B, n_pix², C) input."""
+
+    n_pix: int = 28
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        img = x.reshape((x.shape[0], self.n_pix, self.n_pix, -1))
+        return ImageDiscriminator()(img, train=train)
+
+
 class ImagePE(nn.Module):
     """Conv PE: image → (x, y) blob-centre estimate (ref: ganymede.py:141-173)."""
 

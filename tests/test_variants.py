@@ -216,3 +216,27 @@ def test_sample_extrinsic_ranges():
     # isotropy: cos(iota) and sin(dec) uniform → means ~0
     assert abs(np.cos(np.asarray(ext["iota"])).mean()) < 0.1
     assert abs(np.sin(np.asarray(ext["dec"])).mean()) < 0.1
+
+
+def test_load_image_dir_fixtures():
+    """tests/data/images fixtures load through the directory-image path
+    (ref loader semantics: greyscale, resize, [-1,1] rescale, flip copies,
+    ganymede.py:272-314)."""
+    import os
+
+    from gennet_tpu.data.images import load_image_dir
+
+    pat = os.path.join(os.path.dirname(__file__), "data", "images", "*.jpg")
+    imgs = load_image_dir(pat, n_pix=24, flip=True)
+    assert imgs.shape == (32, 24, 24, 1)
+    assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+    # flipped copy follows each original
+    np.testing.assert_allclose(imgs[1], imgs[0][:, ::-1], atol=1e-6)
+
+    no_flip = load_image_dir(pat, n_pix=24, flip=False, limit=5)
+    assert no_flip.shape == (5, 24, 24, 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        load_image_dir("/nonexistent/*.jpg")

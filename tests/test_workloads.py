@@ -53,3 +53,21 @@ def test_bbh_workload_tiny(tmp_path):
     # β is reported by default via the synthetic-event exact grid posterior
     assert out["beta"] is not None and 0.0 <= out["beta"] <= 1.0
     assert out["cnn_sanity_beta"] is not None
+
+
+def test_image_gan_tiny(tmp_path):
+    """Image-directory GAN mode over the committed fixture set (the
+    reference's face-image path, ganymede.py:64,272-314)."""
+    import os
+
+    from gennet_tpu.cli.workloads import ImageGANConfig, run_image_gan
+
+    glob_pat = os.path.join(os.path.dirname(__file__), "data", "images", "*.jpg")
+    cfg = ImageGANConfig(
+        image_glob=glob_pat, n_pix=16, gan_iters=6, cadence=5, batch_size=8,
+        out_dir=str(tmp_path / "img"), plots=False,
+    )
+    out = run_image_gan(cfg)
+    assert out["n_images"] == 32  # 16 fixtures x flip
+    assert np.isfinite(out["gan_d_loss"]) and np.isfinite(out["gan_g_loss"])
+    assert -1.0 <= out["recovery_corr"] <= 1.0
