@@ -240,3 +240,33 @@ def test_load_image_dir_fixtures():
 
     with _pytest.raises(FileNotFoundError):
         load_image_dir("/nonexistent/*.jpg")
+
+
+def test_load_mnist_idx_roundtrip(tmp_path):
+    """IDX3 reader on a fabricated MNIST-format file (plain + gzip)."""
+    import gzip
+    import struct
+
+    from gennet_tpu.data.images import load_mnist_idx
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (7, 28, 28), dtype=np.uint8)
+    payload = struct.pack(">IIII", 0x803, 7, 28, 28) + imgs.tobytes()
+    p = tmp_path / "train-images-idx3-ubyte"
+    p.write_bytes(payload)
+    out = load_mnist_idx(str(p))
+    assert out.shape == (7, 28, 28, 1)
+    np.testing.assert_allclose(out[..., 0], imgs / 127.5 - 1.0, atol=1e-6)
+
+    pgz = tmp_path / "train-images-idx3-ubyte.gz"
+    with gzip.open(pgz, "wb") as fh:
+        fh.write(payload)
+    out2 = load_mnist_idx(str(pgz), n_pix=14, limit=3)
+    assert out2.shape == (3, 14, 14, 1)
+
+    import pytest as _pytest
+
+    bad = tmp_path / "bad"
+    bad.write_bytes(struct.pack(">IIII", 0x1234, 1, 2, 2) + b"\x00" * 4)
+    with _pytest.raises(ValueError):
+        load_mnist_idx(str(bad))
