@@ -76,6 +76,7 @@ class BurstSmokeConfig:
                                       # while its batch accuracy ≥ gate (0 =
                                       # off = reference's fixed schedule)
     diversity_weight: float = 0.0     # mode-seeking regularizer on G draws
+    r1_gamma: float = 0.0             # R1 gradient penalty on D (γ/2·E‖∇ₓD‖²)
     res_loss_weight: float = 1.0      # weight of the residual-moment route
     posterior_temp: float = 1.0       # latent temperature for posterior draws
     per_sample_max: bool = False      # CNN max-normalization per sample
@@ -97,6 +98,12 @@ class BurstSmokeConfig:
                                       # scheme (measured: its GaussianDropout
                                       # 0.3 makes draws too noisy, grid
                                       # overlap 0.15 vs 0.33); BBH keeps it on
+    posterior_drate: float = -1.0     # if ≥0: sample through a generator
+                                      # clone with THIS GaussianDropout rate
+                                      # (weaker than the 0.3 training rate) —
+                                      # a variational sampler that restores
+                                      # dispersion a collapsed G lost, without
+                                      # the full training-noise level
     out_dir: str = "out/burst"
     seed: int = 0
     plots: bool = True
@@ -154,6 +161,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
                         d_lr_scale=cfg.d_lr_scale, d_acc_gate=cfg.d_acc_gate,
                         diversity_weight=cfg.diversity_weight,
+                        r1_gamma=cfg.r1_gamma,
                         res_loss_weight=cfg.res_loss_weight,
                         g_ema_decay=cfg.g_ema_decay)
     G = BurstGenerator(n_out=cfg.n_pix)
@@ -175,6 +183,14 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
 
     snapshots = deque(maxlen=max(1, cfg.n_snapshots))
 
+    # posterior sampler: optionally a weaker-dropout clone of G (same params;
+    # GaussianDropout carries none)
+    if cfg.posterior_drate >= 0.0:
+        G_samp = BurstGenerator(n_out=cfg.n_pix, drate=cfg.posterior_drate)
+        samp_dropout = True
+    else:
+        G_samp, samp_dropout = G, cfg.posterior_dropout
+
     def draw_posterior(states, key):
         """Posterior cloud pooled over snapshot states (snapshot-ensemble
         sampling across the adversarial oscillation)."""
@@ -182,8 +198,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
         parts = []
         for snap in states:
             key, sub = jax.random.split(key)
-            parts.append(sample_generator(G, snap, sub, per, gan_cfg,
-                                          dropout=cfg.posterior_dropout,
+            parts.append(sample_generator(G_samp, snap, sub, per, gan_cfg,
+                                          dropout=samp_dropout,
                                           temp=cfg.posterior_temp))
         wf = jnp.concatenate(parts, axis=0)
         samples = np.asarray(cnn_predict(pe_model, pe_state, normalize_max(wf, pe_cfg)))
@@ -539,6 +555,7 @@ class BBHConfig:
                                         # oscillates but never pegs,
                                         # ref: bbhMahoGANy.py:1241-1382)
     diversity_weight: float = 0.0       # mode-seeking regularizer on G
+    r1_gamma: float = 0.0               # R1 gradient penalty on D
     g_ema_decay: float = 0.0            # EMA of G params (see burst note:
                                         # measured harmful at these scales)
     posterior_temp: float = 1.0         # latent temperature for draws
@@ -727,6 +744,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
                         d_lr_scale=cfg.d_lr_scale, d_acc_gate=cfg.d_acc_gate,
                         diversity_weight=cfg.diversity_weight,
+                        r1_gamma=cfg.r1_gamma,
                         g_ema_decay=cfg.g_ema_decay)
     dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
     G = BBHGenerator(n_out=cfg.n_pix, dtype=dt)

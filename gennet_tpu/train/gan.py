@@ -72,7 +72,15 @@ class GANConfig:
                                         # blurs the trivial real/fake
                                         # separation that stalls the burst
                                         # scheme; natural value = n_sig, the
-                                        # measurement noise)
+                                        # measurement noise). The σ VALUE is
+                                        # a traced knob; != 0 gates the draw.
+    r1_gamma: float = 0.0               # R1 gradient penalty on D's real
+                                        # inputs (Mescheder et al. 2018):
+                                        # γ/2·E‖∇ₓD‖² — regularizes D away
+                                        # from the saturating, over-confident
+                                        # regime that collapses late training.
+                                        # The γ VALUE is a traced knob; > 0
+                                        # gates the extra grad computation.
     g_steps_per_iter: int = 1           # adversarial G updates per iteration
     diversity_weight: float = 0.0       # mode-seeking regularizer weight
                                         # (Mao et al. 2019): penalize
@@ -117,6 +125,8 @@ class GANKnobs(struct.PyTreeNode):
     d_acc_gate: jnp.ndarray       # D updates only while d_acc < gate; ≥1 ⇒ off
     diversity_weight: jnp.ndarray
     res_loss_weight: jnp.ndarray
+    instance_noise: jnp.ndarray   # σ scale of the (unit) drawn instance noise
+    r1_gamma: jnp.ndarray
 
 
 def knobs_from_cfg(cfg: "GANConfig") -> GANKnobs:
@@ -125,6 +135,8 @@ def knobs_from_cfg(cfg: "GANConfig") -> GANKnobs:
                                jnp.float32),
         diversity_weight=jnp.asarray(cfg.diversity_weight, jnp.float32),
         res_loss_weight=jnp.asarray(cfg.res_loss_weight, jnp.float32),
+        instance_noise=jnp.asarray(cfg.d_instance_noise, jnp.float32),
+        r1_gamma=jnp.asarray(cfg.r1_gamma, jnp.float32),
     )
 
 
@@ -211,8 +223,10 @@ def draw_gan_batch(key: jax.Array, bank: jnp.ndarray, cfg: GANConfig) -> GANBatc
     d_ch = 2 if cfg.pair_discriminator else 1
     in_shape = (B, real.shape[1], d_ch)
     if cfg.d_instance_noise > 0.0:
-        in_real = cfg.d_instance_noise * jax.random.normal(k_inr, in_shape)
-        in_fake = cfg.d_instance_noise * jax.random.normal(k_inf, in_shape)
+        # unit noise; the σ scale is applied in gan_update from the traced
+        # knob so it can be swept/annealed without recompiling
+        in_real = jax.random.normal(k_inr, in_shape)
+        in_fake = jax.random.normal(k_inf, in_shape)
     else:
         in_real = in_fake = None
 
@@ -237,7 +251,7 @@ def draw_gan_batch(key: jax.Array, bank: jnp.ndarray, cfg: GANConfig) -> GANBatc
     )
 
 
-def _d_inputs(x_gen, batch: GANBatch, measured, cfg: GANConfig):
+def _d_inputs(x_gen, batch: GANBatch, measured, cfg: GANConfig, knobs: GANKnobs):
     """Assemble D inputs: fake/real pairs for the subtraction scheme
     (ref pair assembly: bbhMahoGANy.py:1267-1289) or raw series (burst)."""
     if cfg.pair_discriminator:
@@ -246,8 +260,8 @@ def _d_inputs(x_gen, batch: GANBatch, measured, cfg: GANConfig):
     else:
         fake, realp = x_gen[..., None], batch.real[..., None]
     if batch.in_real is not None:
-        realp = realp + batch.in_real
-        fake = fake + batch.in_fake
+        realp = realp + knobs.instance_noise * batch.in_real
+        fake = fake + knobs.instance_noise * batch.in_fake
     return fake, realp
 
 
@@ -277,7 +291,7 @@ def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
         x_fake, _ = _apply_g(generator, state.g_params, state.g_stats,
                              batch.z1, batch.kfake, train=False)
     x_fake = x_fake.reshape(B, -1)
-    fake_in, real_in = _d_inputs(x_fake, batch, measured, cfg)
+    fake_in, real_in = _d_inputs(x_fake, batch, measured, cfg, knobs)
 
     def d_loss_fn(d_params):
         lr_ = discriminator.apply({"params": d_params}, real_in, train=True,
@@ -285,6 +299,17 @@ def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
         lf_ = discriminator.apply({"params": d_params}, fake_in, train=True,
                                   rngs={"dropout": batch.kd})
         loss = 0.5 * (L.bce_with_logits(lr_, batch.y_real) + L.bce_with_logits(lf_, batch.y_fake))
+        if cfg.r1_gamma > 0.0:
+            # R1: γ/2·E‖∇ₓ D(x_real)‖² (Mescheder et al. 2018) — keeps D's
+            # decision surface smooth so it cannot saturate into the
+            # d_acc=1.0 regime that starves G late in long schedules
+            def logit_sum(x):
+                return discriminator.apply({"params": d_params}, x, train=True,
+                                           rngs={"dropout": batch.kd}).sum()
+
+            gx = jax.grad(logit_sum)(real_in)
+            r1 = jnp.mean(jnp.sum(gx**2, axis=tuple(range(1, gx.ndim))))
+            loss = loss + 0.5 * knobs.r1_gamma * r1
         acc = 0.5 * (L.binary_accuracy(lr_, 1.0) + L.binary_accuracy(lf_, 0.0))
         return loss, acc
 

@@ -38,6 +38,15 @@ VARIANTS = {
     "resw3": {"res_loss_weight": 3.0},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
+    # R1 gradient penalty on D (smooth decision surface, anti-saturation)
+    "r1g01": {"r1_gamma": 0.1},
+    "r1g1": {"r1_gamma": 1.0},
+    "r1g01_snap8": {"r1_gamma": 0.1, "n_snapshots": 8, "snapshot_every": 5},
+    # weak-dropout posterior sampler (training drate is 0.3; 0.3 measured
+    # harmful for draws, but a collapsed G may need SOME variational noise)
+    "pdrop05": {"posterior_drate": 0.05},
+    "pdrop10": {"posterior_drate": 0.10},
+    "div20_snap8": {"diversity_weight": 0.2, "n_snapshots": 8, "snapshot_every": 5},
     # combinations
     "gate90_snap8": {"d_acc_gate": 0.90, "n_snapshots": 8, "snapshot_every": 5},
     "gate75_snap8": {"d_acc_gate": 0.75, "n_snapshots": 8, "snapshot_every": 5},

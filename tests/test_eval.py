@@ -87,6 +87,7 @@ def test_grid_overlap_score_sane():
     assert grid_overlap_score(good, np.asarray(L), gx, gy) > grid_overlap_score(bad, np.asarray(L), gx, gy)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from gennet_tpu.models import BurstDiscriminator, BurstGenerator
     from gennet_tpu.train import GANConfig, init_gan

@@ -31,6 +31,7 @@ def test_beta_index_bounds(cfg):
     assert lo == hi == 2048
 
 
+@pytest.mark.slow
 def test_template_batch_shapes_and_peaks(cfg, psd):
     t, pars = tb.make_template_batch(jax.random.PRNGKey(0), 64, psd, cfg)
     t = np.asarray(t)
@@ -84,6 +85,7 @@ def test_bank_determinism(cfg, psd):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
 
 
+@pytest.mark.slow
 def test_bank_sharded_over_mesh(cfg, psd):
     # multi-chip data-parallel generation on the virtual 8-device CPU mesh
     mesh = jax.make_mesh((8,), ("data",))

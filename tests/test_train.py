@@ -7,6 +7,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# every test here compiles at least one training program: slow tier
+pytestmark = pytest.mark.slow
+
 from gennet_tpu.models import (
     BBHGenerator,
     BurstDiscriminator,
@@ -376,3 +379,20 @@ def test_generator_ema_tracks_params():
     a = sample_generator(G, s1, jax.random.PRNGKey(3), 4, cfg, use_ema=True)
     b = sample_generator(G, s1, jax.random.PRNGKey(3), 4, cfg, use_ema=False)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_gan_step_r1_penalty_runs_and_regularizes(burst_setup):
+    """R1-enabled step runs and its D gradients differ from the plain step
+    (the penalty actually contributes)."""
+    from dataclasses import replace as dc_replace
+
+    cfg, G, D, state, bank, pars, measured = burst_setup
+    cfg_r1 = dc_replace(cfg, r1_gamma=1.0, d_instance_noise=0.25)
+    cfg_plain = dc_replace(cfg, r1_gamma=0.0, d_instance_noise=0.25)
+    s_r1, m_r1 = make_gan_step(G, D, cfg_r1)(state, bank, measured, jax.random.PRNGKey(3))
+    s_pl, m_pl = make_gan_step(G, D, cfg_plain)(state, bank, measured, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m_r1["d_loss"]))
+    assert float(m_r1["d_loss"]) > float(m_pl["d_loss"])  # penalty added
+    la = jax.tree_util.tree_leaves(s_r1.d_params)[0]
+    lb = jax.tree_util.tree_leaves(s_pl.d_params)[0]
+    assert not np.allclose(np.asarray(la), np.asarray(lb))

@@ -49,6 +49,7 @@ def test_blob_grid_posterior_peaks_at_truth():
     assert gy[j] == pytest.approx(float(means[0, 1]), abs=0.08)
 
 
+@pytest.mark.slow
 def test_image_gan_models_forward():
     G, D, PE, MC = ImageGenerator(n_pix=28), ImageDiscriminator(), ImagePE(), ImageMCDropoutPE()
     k = jax.random.PRNGKey(0)
@@ -81,6 +82,7 @@ def test_gauss_pulse_shape():
 
 
 # ------------------------------------------------------------ softmax GAN
+@pytest.mark.slow
 def test_softmax_gan_pretrain_and_step():
     cfg = SoftmaxGANConfig(n_out=50, latent_dim=10, batch_size=16)
     G = DenseGenerator(n_out=50, latent_dim=10)
@@ -97,6 +99,7 @@ def test_softmax_gan_pretrain_and_step():
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
 def test_softmax_gan_subtract_ht_variant():
     cfg = SoftmaxGANConfig(n_out=50, latent_dim=10, batch_size=8, subtract_ht=True)
     G = DenseGenerator(n_out=50, latent_dim=10)
@@ -114,6 +117,7 @@ def test_softmax_gan_subtract_ht_variant():
 
 
 # -------------------------------------------------------------- two-stage
+@pytest.mark.slow
 def test_two_stage_pipeline_tiny():
     n_pix = 64
     cfg = GANConfig(n_pix=n_pix, batch_size=4, pair_discriminator=False, latent_dim=8)
@@ -167,6 +171,7 @@ def test_load_txt_waveforms(tmp_path):
 
 
 # ------------------------------------------------- denoiser/AE ablations
+@pytest.mark.slow
 def test_autoencoder_latent():
     from gennet_tpu.train.denoise_variants import SignalAutoencoder, train_autoencoder
     from gennet_tpu.physics.toys import sample_sinusoids
@@ -182,6 +187,7 @@ def test_autoencoder_latent():
     assert recon.shape == (4, 50)
 
 
+@pytest.mark.slow
 def test_stark_denoiser_gan():
     from gennet_tpu.train.denoise_variants import (
         DenoiserGANConfig,
