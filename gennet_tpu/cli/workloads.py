@@ -104,6 +104,16 @@ class BurstSmokeConfig:
                                       # a variational sampler that restores
                                       # dispersion a collapsed G lost, without
                                       # the full training-noise level
+    cnn_cache: str | None = None      # directory of reusable CNN-PE states:
+                                      # the PE phase depends only on
+                                      # (seed, pe config), so sweeps over GAN
+                                      # recipes restore it instead of
+                                      # retraining per variant
+    eval_every: int = 1               # posterior draw + grid score every k-th
+                                      # cadence point (cheap jitted metrics
+                                      # still log at every cadence; same
+                                      # split the flagship's eval_cadence
+                                      # provides, ref did everything at :854)
     out_dir: str = "out/burst"
     seed: int = 0
     plots: bool = True
@@ -131,22 +141,41 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                        max_per_sample=cfg.per_sample_max)
     pe_model = BurstPE()
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
-    pe_chunk = cfg.cadence if (cfg.cadence > 1 and cfg.pe_iters % cfg.cadence == 0) else 1
-    if pe_chunk > 1:
-        from gennet_tpu.train.cnn import make_cnn_step_scan
 
-        pe_step = make_cnn_step_scan(pe_model, pe_cfg, pe_chunk, mesh=mesh)
+    # the PE phase draws from its own key branch so a cache-restore (below)
+    # leaves the GAN phase's stream untouched — no split-count bookkeeping
+    k_pe, key = jax.random.split(key)
+
+    cache_mgr = None
+    if cfg.cnn_cache:
+        tag = (f"s{cfg.seed}_i{cfg.pe_iters}_n{cfg.n_pix}_b{cfg.batch_size}"
+               f"_sig{cfg.n_signals}_psm{int(cfg.per_sample_max)}")
+        cache_mgr = CheckpointManager(os.path.join(cfg.cnn_cache, tag), max_to_keep=1)
+    restored = None
+    if cache_mgr is not None and cache_mgr.latest_step() is not None:
+        restored, _ = cache_mgr.restore(pe_state)
+    if restored is not None:
+        pe_state = restored
+        print("CNN PE restored from cache")
     else:
-        pe_step = make_cnn_step(pe_model, pe_cfg, mesh=mesh)
-    for i0 in range(0, cfg.pe_iters, pe_chunk):
-        key, sub = jax.random.split(key)
-        pe_state, m = pe_step(pe_state, bank, pars, sub)
+        pe_chunk = cfg.cadence if (cfg.cadence > 1 and cfg.pe_iters % cfg.cadence == 0) else 1
         if pe_chunk > 1:
-            m = {k: v[-1] for k, v in m.items()}
-        i = i0 + pe_chunk if pe_chunk > 1 else i0
-        if i % cfg.cadence == 0 and i > 0:
-            log.log(i, m)
-            print(log.status_line(i, m, log.steps_per_sec(i)))
+            from gennet_tpu.train.cnn import make_cnn_step_scan
+
+            pe_step = make_cnn_step_scan(pe_model, pe_cfg, pe_chunk, mesh=mesh)
+        else:
+            pe_step = make_cnn_step(pe_model, pe_cfg, mesh=mesh)
+        for i0 in range(0, cfg.pe_iters, pe_chunk):
+            k_pe, sub = jax.random.split(k_pe)
+            pe_state, m = pe_step(pe_state, bank, pars, sub)
+            if pe_chunk > 1:
+                m = {k: v[-1] for k, v in m.items()}
+            i = i0 + pe_chunk if pe_chunk > 1 else i0
+            if i % cfg.cadence == 0 and i > 0:
+                log.log(i, m)
+                print(log.status_line(i, m, log.steps_per_sec(i)))
+        if cache_mgr is not None:
+            cache_mgr.save(cfg.pe_iters, pe_state)
 
     # PE accuracy on the bank
     est = np.asarray(cnn_predict(pe_model, pe_state, bank[:4000]))
@@ -222,6 +251,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             n_cad += 1
             if n_cad % max(1, cfg.snapshot_every) == 0:
                 snapshots.append(gan_state)
+            if n_cad % max(1, cfg.eval_every) != 0:
+                continue
             key, sub = jax.random.split(key)
             wf, samples = draw_posterior(list(snapshots) or [gan_state], sub)
             # degenerate-output guard (ref: bbhMahoGANy.py:1354-1355)

@@ -4,7 +4,7 @@ from typing import Sequence
 
 from flax import linen as nn
 
-from gennet_tpu.models.layers import activation
+from gennet_tpu.models.layers import activation, conv1d_layer
 
 
 class PairDiscriminator(nn.Module):
@@ -25,6 +25,7 @@ class PairDiscriminator(nn.Module):
     drate: float = 0.4
     alpha: float = 0.2
     dtype: "jnp.dtype" = None           # compute dtype (None → float32)
+    conv_impl: str = "xla"              # 'xla' or 'pallas' (see layers)
 
     @nn.compact
     def __call__(self, pair, train: bool = False):
@@ -33,8 +34,9 @@ class PairDiscriminator(nn.Module):
 
         dtype = self.dtype or jnp.float32
         x = pair
-        for feat in self.features:
-            x = nn.Conv(feat, (self.filt,), strides=(2,), padding="SAME", dtype=dtype)(x)
+        for i, feat in enumerate(self.features):
+            x = conv1d_layer(self.conv_impl, feat, self.filt, strides=2,
+                             dtype=dtype, name=f"Conv_{i}")(x)
             x = nn.leaky_relu(x, negative_slope=self.alpha)
             x = nn.Dropout(self.drate, deterministic=not train)(x)
         x = x.reshape((x.shape[0], -1))

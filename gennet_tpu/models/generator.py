@@ -5,7 +5,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gennet_tpu.models.layers import GaussianDropout, activation, upsample1d
+from gennet_tpu.models.layers import (GaussianDropout, activation,
+                                      conv1d_layer, upsample1d)
 
 
 class BBHGenerator(nn.Module):
@@ -32,6 +33,9 @@ class BBHGenerator(nn.Module):
     dtype: jnp.dtype = jnp.float32      # compute dtype; bfloat16 puts the
                                         # convs on the MXU fast path (params
                                         # stay float32)
+    conv_impl: str = "xla"              # 'xla' (nn.Conv) or 'pallas'
+                                        # (PallasConv1D MXU kernel); param
+                                        # trees are identical either way
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -46,20 +50,20 @@ class BBHGenerator(nn.Module):
         x = x.reshape((x.shape[0], half, 256))
 
         for i, feat in enumerate(self.features):
-            if i == 0:
+            if i <= 1:
                 x = upsample1d(x, 2)
-                x = nn.Conv(feat, (self.filt,), strides=(2,), padding="SAME", dtype=self.dtype)(x)
-            elif i == 1:
-                x = upsample1d(x, 2)
-                x = nn.Conv(feat, (self.filt,), strides=(1,), padding="SAME", dtype=self.dtype)(x)
-            else:
-                x = nn.Conv(feat, (self.filt,), strides=(1,), padding="SAME", dtype=self.dtype)(x)
+            x = conv1d_layer(self.conv_impl, feat, self.filt,
+                             strides=2 if i == 0 else 1,
+                             dtype=self.dtype, name=f"Conv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                              dtype=self.dtype)(x)
             x = act(x)
             x = nn.Dropout(self.drate, deterministic=not train)(x)
 
-        x = nn.Conv(1, (self.filt,), padding="SAME", dtype=jnp.float32)(x)
+        # final 1-channel projection stays on nn.Conv: Cout=1 pads to a full
+        # 128-lane tile in the Pallas kernel — pure waste for this layer
+        x = nn.Conv(1, (self.filt,), padding="SAME", dtype=jnp.float32,
+                    name=f"Conv_{len(self.features)}")(x)
         return x  # (B, n_out, 1), linear float32 output
 
 

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gennet_tpu.cli.workloads import BurstSmokeConfig, run_burst_smoke
 
-BASE = BurstSmokeConfig(plots=False, cadence=500)
+BASE = BurstSmokeConfig(plots=False, cadence=500, eval_every=5)
 
 VARIANTS = {
     # round-1 recipe re-run under the refactored step (parity check)
@@ -56,10 +56,7 @@ VARIANTS = {
 }
 
 
-def main():
-    name = sys.argv[1]
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else BASE.gan_iters
+def run_one(name, seed, iters):
     cfg = replace(BASE, **VARIANTS[name], seed=seed, gan_iters=iters,
                   out_dir=f"out/sweeps/{name}_s{seed}")
     t0 = time.time()
@@ -71,9 +68,26 @@ def main():
         "whiteness": out["whiteness"], "rms": out["rms"],
         "wall_s": round(time.time() - t0, 1),
     }
+    os.makedirs("out/sweeps", exist_ok=True)
     with open("out/sweeps/results.jsonl", "a") as fh:
         fh.write(json.dumps(row) + "\n")
-    print("SWEEP RESULT:", json.dumps(row))
+    print("SWEEP RESULT:", json.dumps(row), flush=True)
+
+
+def main():
+    if sys.argv[1] == "--queue":
+        # serial queue on the one chip: "name[:seed[:iters]],name,..."
+        for item in sys.argv[2].split(","):
+            parts = item.split(":")
+            name = parts[0]
+            seed = int(parts[1]) if len(parts) > 1 else 0
+            iters = int(parts[2]) if len(parts) > 2 else BASE.gan_iters
+            run_one(name, seed, iters)
+        return
+    name = sys.argv[1]
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else BASE.gan_iters
+    run_one(name, seed, iters)
 
 
 if __name__ == "__main__":
