@@ -81,6 +81,22 @@ def main(argv=None):
         _add_dataclass_args(p, BBHConfig)
         p.add_argument("--data-parallel", action="store_true")
 
+    p_mdc = sub.add_parser("make-mdc", help="build a hardware-injection MDC set "
+                           "(sim_burst XML + per-injection ASCII strain files)")
+    p_mdc.add_argument("--kind", choices=("sine-gaussian", "wnb"),
+                       default="sine-gaussian")
+    p_mdc.add_argument("-n", "--number", type=int, default=1000)
+    p_mdc.add_argument("--gps-start", type=int, default=1126620016)
+    p_mdc.add_argument("--gps-stop", type=int, default=1136995216)
+    p_mdc.add_argument("--hrss", type=float, nargs=2, default=[5e-23, 1e-20])
+    p_mdc.add_argument("--f-range", type=float, nargs=2, default=[100.0, 200.0])
+    p_mdc.add_argument("-q", type=float, default=15.0)
+    p_mdc.add_argument("--detectors", type=str, default="H1,L1")
+    p_mdc.add_argument("--xml", type=str, default="mdc/set.xml.gz")
+    p_mdc.add_argument("--render-dir", type=str, default=None,
+                       help="also write per-injection ASCII strain files here")
+    p_mdc.add_argument("--seed", type=int, default=3)
+
     p_samp = sub.add_parser("sample-posterior", help="draw posterior samples from trained models")
     _add_dataclass_args(p_samp, BBHConfig)
     p_samp.add_argument("--n-samples", type=int, default=4000)
@@ -165,6 +181,36 @@ def main(argv=None):
         if args.cmd == "train-gan":
             cfg = dataclasses.replace(cfg, pe_iters=0, resume=True)
         out = run_bbh(cfg, mesh=_mesh(args))
+        print(json.dumps(out))
+        return
+
+    if args.cmd == "make-mdc":
+        import os
+
+        import numpy as np
+
+        from gennet_tpu.data import mdc_xml as M
+
+        rng = np.random.default_rng(args.seed)
+        mdcset = M.MDCSet(args.detectors.split(","))
+        times = M.uniform_time(args.gps_start, args.gps_stop, args.number, rng=rng)
+        hrss = M.log_uniform(args.hrss[0], args.hrss[1], args.number, rng=rng)
+        for h, t in zip(hrss, times):
+            if args.kind == "sine-gaussian":
+                # ref make_hw-xml.py (sineGauss variant): q=15, f ~ U[100,200]
+                mdcset + M.sine_gaussian(
+                    q=args.q, frequency=float(rng.uniform(*args.f_range)),
+                    hrss=float(h), time=float(t))
+            else:
+                # ref make_hw-xml.py (wnb variant): 0.1 s, 10 Hz bw @ 1 kHz
+                mdcset + M.white_noise_burst(
+                    duration=0.1, bandwidth=10.0, frequency=1000.0,
+                    hrss=float(h), time=float(t), seed=args.seed)
+        os.makedirs(os.path.dirname(args.xml) or ".", exist_ok=True)
+        mdcset.save_xml(args.xml)
+        out = {"injections": len(mdcset.injections), "xml": args.xml}
+        if args.render_dir:
+            out["files"] = len(M.render_injection_files(mdcset, args.render_dir))
         print(json.dumps(out))
         return
 

@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gennet_tpu.cli.workloads import BurstSmokeConfig, run_burst_smoke
 
-BASE = BurstSmokeConfig(plots=False, cadence=500, eval_every=5)
+BASE = BurstSmokeConfig(plots=False, cadence=500, eval_every=5,
+                        cnn_cache="out/sweeps/cnn_cache")
 
 VARIANTS = {
     # round-1 recipe re-run under the refactored step (parity check)

@@ -92,3 +92,56 @@ def test_bank_npz_roundtrip(tmp_path):
     t2, p2 = lalinf_io.load_bank_npz(str(tmp_path / "b.npz"))
     np.testing.assert_array_equal(t, t2)
     np.testing.assert_array_equal(p["mc"], p2["mc"])
+
+
+# ---- MDC sim_burst XML tooling (ref: make_hw-xml.py / make-hw-frames.py) --
+
+def test_mdc_xml_roundtrip(tmp_path):
+    from gennet_tpu.data import mdc_xml as M
+
+    rng = __import__("numpy").random.default_rng(3)
+    mdcset = M.MDCSet(["H1"])
+    times = M.uniform_time(1126620016, 1136995216, 5, rng=rng)
+    hrss = M.log_uniform(5e-23, 1e-20, 5, rng=rng)
+    for h, t in zip(hrss, times):
+        mdcset + M.sine_gaussian(q=15, frequency=150.0, hrss=float(h),
+                                 time=float(t))
+    mdcset + M.white_noise_burst(duration=0.1, bandwidth=10, frequency=1000,
+                                 hrss=1e-23, time=1126630000, seed=3)
+    path = str(tmp_path / "set.xml.gz")
+    mdcset.save_xml(path)
+    back = M.MDCSet.load_xml(path)
+    assert len(back.injections) == 6
+    for a, b in zip(mdcset.injections, back.injections):
+        assert a.waveform == b.waveform
+        assert abs(a.time - b.time) < 1e-6
+        assert abs(a.hrss - b.hrss) / a.hrss < 1e-12
+        assert a.seed == b.seed
+
+
+def test_mdc_render_hrss_and_files(tmp_path):
+    import numpy as np
+    from gennet_tpu.data import mdc_xml as M
+
+    fs = 4096
+    sg = M.sine_gaussian(q=15, frequency=150.0, hrss=3e-22, time=0.0)
+    h = M.render_injection(sg, fs=fs)
+    assert abs(np.sqrt(np.sum(h**2) / fs) - 3e-22) / 3e-22 < 1e-6
+    # q=15 sine-Gaussian: spectral peak at the centre frequency
+    f = np.fft.rfftfreq(h.size, 1.0 / fs)
+    assert abs(f[np.argmax(np.abs(np.fft.rfft(h)))] - 150.0) < 5.0
+
+    wnb = M.white_noise_burst(duration=0.1, bandwidth=10, frequency=1000,
+                              hrss=1e-23, time=0.0, seed=3)
+    hw = M.render_injection(wnb, fs=fs)
+    assert abs(np.sqrt(np.sum(hw**2) / fs) - 1e-23) / 1e-23 < 1e-6
+    P = np.abs(np.fft.rfft(hw))**2
+    f = np.fft.rfftfreq(hw.size, 1.0 / fs)
+    in_band = P[(f > 990) & (f < 1010)].sum()
+    assert in_band / P.sum() > 0.9  # band-limited (envelope leaks a little)
+
+    mdcset = M.MDCSet(["H1", "L1"], [sg, wnb])
+    paths = M.render_injection_files(mdcset, str(tmp_path / "inj"), fs=fs)
+    assert len(paths) == 4
+    t, hh = np.loadtxt(paths[0]).T
+    np.testing.assert_allclose(hh, h)
