@@ -255,13 +255,33 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                 continue
             key, sub = jax.random.split(key)
             wf, samples = draw_posterior(list(snapshots) or [gan_state], sub)
+            # cloud diagnostics vs the exact grid: bias (mean offset in
+            # exact-σ units) and dispersion ratio per parameter — these
+            # separate "biased cloud" from "collapsed/over-dispersed cloud"
+            # failure modes at a glance
+            gm = gp.grid_moments(np.asarray(L), gx, gy)
+            _wf2d = np.asarray(wf).reshape(np.asarray(wf).shape[0], -1)
+            diag = {
+                "bias_t0": (float(samples[:, 0].mean()) - gm[0]) / max(gm[2], 1e-12),
+                "bias_tau": (float(samples[:, 1].mean()) - gm[1]) / max(gm[3], 1e-12),
+                "disp_t0": float(samples[:, 0].std()) / max(gm[2], 1e-12),
+                "disp_tau": float(samples[:, 1].std()) / max(gm[3], 1e-12),
+                "wf_corr": float(np.mean(
+                    np.sum(_wf2d * np.asarray(signal)[None, :], axis=1)
+                    / (np.linalg.norm(_wf2d, axis=1)
+                       * np.linalg.norm(np.asarray(signal)) + 1e-30))),
+            }
             # degenerate-output guard (ref: bbhMahoGANy.py:1354-1355)
             if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
                 score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
-                log.log(i, {"grid_overlap": score})
-                print(f"grid overlap: {score:.4f}")
+                diag["grid_overlap"] = score
+                print(f"grid overlap: {score:.4f}  "
+                      f"bias: ({diag['bias_t0']:+.2f}, {diag['bias_tau']:+.2f})σ  "
+                      f"disp: ({diag['disp_t0']:.2f}, {diag['disp_tau']:.2f})×  "
+                      f"wf_corr: {diag['wf_corr']:.4f}")
                 if score > best_score:
                     best_score, best_state = score, gan_state
+            log.log(i, diag)
             if cfg.plots:
                 from gennet_tpu.eval import plots as P
 

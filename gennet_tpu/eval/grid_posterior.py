@@ -96,6 +96,21 @@ def sample_grid_posterior(L: np.ndarray, x_grid: np.ndarray, y_grid: np.ndarray,
     return np.stack([x, y], axis=-1)
 
 
+def grid_moments(L: np.ndarray, x_grid: np.ndarray, y_grid: np.ndarray):
+    """Mean and std of each parameter under a (y, x)-convention grid
+    posterior — the exact-cloud moments a learned sample cloud should
+    reproduce. Returns (mean_x, mean_y, std_x, std_y)."""
+    p = np.asarray(L, np.float64).T  # → (x, y)
+    p = p / p.sum()
+    px = p.sum(axis=1)
+    py = p.sum(axis=0)
+    mx = float(np.dot(px, x_grid))
+    my = float(np.dot(py, y_grid))
+    sx = float(np.sqrt(np.dot(px, (x_grid - mx) ** 2)))
+    sy = float(np.sqrt(np.dot(py, (y_grid - my) ** 2)))
+    return mx, my, sx, sy
+
+
 def grid_credible_interval(L: np.ndarray, levels=(0.68, 0.9, 0.99)):
     """Density thresholds enclosing the requested probability masses on a
     normalized grid posterior — the contour levels the reference found by

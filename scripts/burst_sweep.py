@@ -37,6 +37,19 @@ VARIANTS = {
     "psmax": {"per_sample_max": True},
     # residual-moment weight
     "resw3": {"res_loss_weight": 3.0},
+    "resw10": {"res_loss_weight": 10.0},
+    "resw30": {"res_loss_weight": 30.0},
+    # EXACT reference recipe: no label smoothing, no instance noise, equal
+    # D lr (the round-1 stabilizers may be what blurs D into uselessness:
+    # measured wf_corr only ~0.6 under the stabilized base)
+    "refclean": {"label_smoothing": False, "instance_noise": 0.0,
+                 "d_lr_scale": 1.0},
+    "refclean_resw10": {"label_smoothing": False, "instance_noise": 0.0,
+                        "d_lr_scale": 1.0, "res_loss_weight": 10.0},
+    # stabilizer ablations (which one hurts?)
+    "no_inoise": {"instance_noise": 0.0},
+    "no_smooth": {"label_smoothing": False},
+    "no_dscale": {"d_lr_scale": 1.0},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)
