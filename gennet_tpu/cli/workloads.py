@@ -582,6 +582,9 @@ class BBHConfig:
     comb_pe_model: bool = False         # single-net PE variant (ref: :105)
     bf16: bool = False                  # bfloat16 compute in G/D (MXU fast
                                         # path; params stay float32)
+    conv_impl: str = "xla"              # 'xla' (nn.Conv) or 'pallas' (the
+                                        # ops.pallas_conv1d MXU kernel);
+                                        # param trees identical either way
     posterior_dropout: bool = True      # MC-dropout posterior sampling: keep
                                         # generator dropout active in draws
                                         # (the method lineage's variational
@@ -798,8 +801,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                         r1_gamma=cfg.r1_gamma,
                         g_ema_decay=cfg.g_ema_decay)
     dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    G = BBHGenerator(n_out=cfg.n_pix, dtype=dt)
-    D = PairDiscriminator(dtype=dt)
+    G = BBHGenerator(n_out=cfg.n_pix, dtype=dt, conv_impl=cfg.conv_impl)
+    D = PairDiscriminator(dtype=dt, conv_impl=cfg.conv_impl)
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
     gan_ckpt = CheckpointManager(os.path.join(cfg.out_dir, "ckpt_gan"))
     if cfg.resume:

@@ -218,3 +218,17 @@ def test_plot_suite_writes_files(tmp_path):
 
     P.plot_beta_history([0.1, 0.3, 0.5], [100, 200, 300], out)
     assert (tmp_path / "beta_hist.png").exists()
+
+
+def test_grid_moments_match_sampling():
+    import numpy as np
+    from gennet_tpu.eval import grid_posterior as gp
+
+    # gaussian grid posterior with known moments
+    gx = np.linspace(-1, 1, 201)
+    gy = np.linspace(0, 2, 101)
+    X, Y = np.meshgrid(gx, gy, indexing="ij")
+    L = np.exp(-0.5 * ((X - 0.2) / 0.1) ** 2 - 0.5 * ((Y - 1.3) / 0.3) ** 2)
+    mx, my, sx, sy = gp.grid_moments(L.T, gx, gy)  # (y, x) convention
+    assert abs(mx - 0.2) < 1e-3 and abs(my - 1.3) < 1e-2
+    assert abs(sx - 0.1) < 1e-3 and abs(sy - 0.3) < 1e-2
