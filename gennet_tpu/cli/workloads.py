@@ -104,6 +104,16 @@ class BurstSmokeConfig:
                                       # a variational sampler that restores
                                       # dispersion a collapsed G lost, without
                                       # the full training-noise level
+    anneal_frac: float = 0.0          # terminal anneal: for the last
+                                      # anneal_frac of GAN iterations, freeze
+                                      # D and zero the adversarial G term so
+                                      # the FINAL state settles onto the
+                                      # residual-route optimum (the
+                                      # adversarial oscillation makes the
+                                      # reference's "use the last iteration"
+                                      # convention a lottery; this makes it
+                                      # deterministic). Knobs are traced, so
+                                      # the flip costs no recompile.
     cnn_cache: str | None = None      # directory of reusable CNN-PE states:
                                       # the PE phase depends only on
                                       # (seed, pe config), so sweeps over GAN
@@ -234,6 +244,14 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
         samples = np.asarray(cnn_predict(pe_model, pe_state, normalize_max(wf, pe_cfg)))
         return wf, samples
 
+    from gennet_tpu.train.gan import knobs_from_cfg
+
+    base_knobs = knobs_from_cfg(gan_cfg)
+    anneal_knobs = base_knobs.replace(
+        d_acc_gate=jnp.asarray(-1.0, jnp.float32),    # never update D
+        adv_weight=jnp.asarray(0.0, jnp.float32))     # residual route only
+    anneal_start = int(cfg.gan_iters * (1.0 - cfg.anneal_frac))
+
     score = 0.0
     best_score = -1.0
     best_state = gan_state
@@ -241,7 +259,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
     for i0 in range(0, cfg.gan_iters, chunk):
         key, sub = jax.random.split(key)
-        gan_state, m = gan_step_fn(gan_state, bank, measured, sub)
+        knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
+        gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
         i = i0 + chunk if chunk > 1 else i0

@@ -127,6 +127,13 @@ class GANKnobs(struct.PyTreeNode):
     res_loss_weight: jnp.ndarray
     instance_noise: jnp.ndarray   # σ scale of the (unit) drawn instance noise
     r1_gamma: jnp.ndarray
+    adv_weight: jnp.ndarray       # weight of G's adversarial BCE/χ² term;
+                                  # 0 + d_acc_gate<0 = "terminal anneal": D
+                                  # frozen and G settles on the residual
+                                  # route alone, so a long run's FINAL state
+                                  # is deterministically a high-fidelity one
+                                  # instead of a sample of the adversarial
+                                  # oscillation
 
 
 def knobs_from_cfg(cfg: "GANConfig") -> GANKnobs:
@@ -137,6 +144,7 @@ def knobs_from_cfg(cfg: "GANConfig") -> GANKnobs:
         res_loss_weight=jnp.asarray(cfg.res_loss_weight, jnp.float32),
         instance_noise=jnp.asarray(cfg.d_instance_noise, jnp.float32),
         r1_gamma=jnp.asarray(cfg.r1_gamma, jnp.float32),
+        adv_weight=jnp.asarray(1.0, jnp.float32),
     )
 
 
@@ -363,6 +371,7 @@ def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
                 loss = L.chisquare_loss(jax.nn.sigmoid(logits), 1.0, cfg.n_sig)
             else:
                 loss = L.bce_with_logits(logits, 1.0)
+            loss = knobs.adv_weight * loss
             # mode-seeking term (Mao et al. 2019): distinct latents must
             # map to distinct waveforms; guards posterior dispersion
             # (weight 0 ⇒ exact no-op gradient; the ratio denominator is
@@ -436,7 +445,8 @@ def make_gan_step(generator, discriminator, cfg: GANConfig, mesh=None):
         jitted = jax.jit(
             partial(gan_step, generator=generator, discriminator=discriminator, cfg=cfg)
         )
-        return lambda state, bank, measured, key: jitted(state, bank, measured, key, knob_vals)
+        return lambda state, bank, measured, key, knobs=None: jitted(
+            state, bank, measured, key, knobs if knobs is not None else knob_vals)
 
     from jax.sharding import PartitionSpec as P
 
@@ -456,7 +466,8 @@ def make_gan_step(generator, discriminator, cfg: GANConfig, mesh=None):
         out_specs=(P(), P()),
         check_vma=False,
     ))
-    return lambda state, bank, measured, key: step(state, bank, measured, key, knob_vals)
+    return lambda state, bank, measured, key, knobs=None: step(
+        state, bank, measured, key, knobs if knobs is not None else knob_vals)
 
 
 def make_gan_step_scan(generator, discriminator, cfg: GANConfig, n_steps: int,
@@ -487,7 +498,8 @@ def make_gan_step_scan(generator, discriminator, cfg: GANConfig, n_steps: int,
 
     if mesh is None:
         jitted = jax.jit(many)
-        return lambda state, bank, measured, key: jitted(state, bank, measured, key, knob_vals)
+        return lambda state, bank, measured, key, knobs=None: jitted(
+            state, bank, measured, key, knobs if knobs is not None else knob_vals)
 
     from jax.sharding import PartitionSpec as P
 
@@ -501,7 +513,8 @@ def make_gan_step_scan(generator, discriminator, cfg: GANConfig, n_steps: int,
         out_specs=(P(), P()),
         check_vma=False,
     ))
-    return lambda state, bank, measured, key: step(state, bank, measured, key, knob_vals)
+    return lambda state, bank, measured, key, knobs=None: step(
+        state, bank, measured, key, knobs if knobs is not None else knob_vals)
 
 
 _SAMPLE_FN_CACHE: dict = {}

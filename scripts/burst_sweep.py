@@ -50,6 +50,24 @@ VARIANTS = {
     "no_inoise": {"instance_noise": 0.0},
     "no_smooth": {"label_smoothing": False},
     "no_dscale": {"d_lr_scale": 1.0},
+    # terminal anneal (D frozen + adversarial off for the tail) — makes the
+    # final state deterministic; combine with no instance noise (fidelity)
+    # and snapshot pooling (dispersion from the adversarial phase)
+    "anneal": {"instance_noise": 0.0, "anneal_frac": 0.1},
+    "anneal_snap8": {"instance_noise": 0.0, "anneal_frac": 0.1,
+                     "n_snapshots": 8, "snapshot_every": 5},
+    "anneal_resw10": {"instance_noise": 0.0, "anneal_frac": 0.1,
+                      "res_loss_weight": 10.0},
+    "noin_snap8": {"instance_noise": 0.0, "n_snapshots": 8,
+                   "snapshot_every": 5},
+    "noin_resw10": {"instance_noise": 0.0, "res_loss_weight": 10.0},
+    "noin_drop05": {"instance_noise": 0.0, "posterior_drate": 0.05},
+    # resw10 was q2's winner (0.42 best at 15k) — combine with anneal/snap
+    "resw10_anneal": {"res_loss_weight": 10.0, "anneal_frac": 0.1},
+    "resw10_snap8": {"res_loss_weight": 10.0, "n_snapshots": 8,
+                     "snapshot_every": 5},
+    "resw10_anneal_snap8": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
+                            "n_snapshots": 8, "snapshot_every": 5},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)

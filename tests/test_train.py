@@ -396,3 +396,28 @@ def test_gan_step_r1_penalty_runs_and_regularizes(burst_setup):
     la = jax.tree_util.tree_leaves(s_r1.d_params)[0]
     lb = jax.tree_util.tree_leaves(s_pl.d_params)[0]
     assert not np.allclose(np.asarray(la), np.asarray(lb))
+
+
+def test_gan_anneal_knobs_freeze_d_and_adversarial(burst_setup):
+    """Terminal-anneal knobs (d_acc_gate<0, adv_weight=0): D params must not
+    move; G must still move via the residual route."""
+    import jax.numpy as jnp
+
+    from gennet_tpu.train.gan import knobs_from_cfg, make_gan_step
+
+    cfg, G, D, state, bank, pars, measured = burst_setup
+    step = make_gan_step(G, D, cfg)
+    knobs = knobs_from_cfg(cfg).replace(
+        d_acc_gate=jnp.asarray(-1.0, jnp.float32),
+        adv_weight=jnp.asarray(0.0, jnp.float32))
+    new_state, m = step(state, bank, measured, jax.random.PRNGKey(7), knobs)
+    # D frozen
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.d_params, new_state.d_params)
+    # G moved (residual route active)
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+        jax.tree_util.tree_map(lambda a, b: a - b, state.g_params,
+                               new_state.g_params), 0.0)
+    assert moved > 0.0
