@@ -629,6 +629,16 @@ class BBHConfig:
                                         # ref: bbhMahoGANy.py:1241-1382)
     diversity_weight: float = 0.0       # mode-seeking regularizer on G
     r1_gamma: float = 0.0               # R1 gradient penalty on D
+    res_loss_weight: float = 0.0        # >0 adds the burst scheme's residual-
+                                        # moment route to the flagship (the
+                                        # reference's BBH version is pair-D
+                                        # only; this generalizes the burst
+                                        # 3-loss scheme, ref: :798-802, and
+                                        # is what the terminal anneal polishes
+                                        # the generator with)
+    anneal_frac: float = 0.0            # terminal anneal (see burst config);
+                                        # needs res_loss_weight > 0 to keep a
+                                        # G gradient during the annealed tail
     g_ema_decay: float = 0.0            # EMA of G params (see burst note:
                                         # measured harmful at these scales)
     posterior_temp: float = 1.0         # latent temperature for draws
@@ -818,6 +828,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                         d_lr_scale=cfg.d_lr_scale, d_acc_gate=cfg.d_acc_gate,
                         diversity_weight=cfg.diversity_weight,
                         r1_gamma=cfg.r1_gamma,
+                        residual_route=cfg.res_loss_weight > 0,
+                        res_loss_weight=cfg.res_loss_weight,
                         g_ema_decay=cfg.g_ema_decay)
     dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
     G = BBHGenerator(n_out=cfg.n_pix, dtype=dt, conv_impl=cfg.conv_impl)
@@ -883,12 +895,21 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         log.log(step, row if tag is None else {f"{k}_{tag}": v for k, v in row.items()})
         return out
 
+    from gennet_tpu.train.gan import knobs_from_cfg
+
+    base_knobs = knobs_from_cfg(gan_cfg)
+    anneal_knobs = base_knobs.replace(
+        d_acc_gate=jnp.asarray(-1.0, jnp.float32),
+        adv_weight=jnp.asarray(0.0, jnp.float32))
+    anneal_start = int(cfg.gan_iters * (1.0 - cfg.anneal_frac))
+
     beta_hist, beta_steps = [], []
     best_white, best_state = -1.0, gan_state
     log.steps_per_sec(start)  # reset the steps/sec window for the GAN phase
     for i0 in range(start, cfg.gan_iters, chunk):
         key, sub = jax.random.split(key)
-        gan_state, m = gan_step_fn(gan_state, bank, measured, sub)
+        knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
+        gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
         i = i0 + chunk if chunk > 1 else i0

@@ -68,6 +68,31 @@ VARIANTS = {
                      "snapshot_every": 5},
     "resw10_anneal_snap8": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
                             "n_snapshots": 8, "snapshot_every": 5},
+    # latent temperature < 1: shrink the draw cloud toward the posterior
+    # width (resw10's best cloud is ~2 cells in t0 / 1.7x in tau — close)
+    "resw10_temp05": {"res_loss_weight": 10.0, "posterior_temp": 0.5},
+    "resw10_temp03": {"res_loss_weight": 10.0, "posterior_temp": 0.3},
+    "resw10_psmax": {"res_loss_weight": 10.0, "per_sample_max": True},
+    "resw10_div05": {"res_loss_weight": 10.0, "diversity_weight": 0.05},
+    # annealed final state (high-fidelity center, whiteness 1.0) + weak-
+    # dropout variational sampler for the dispersion the collapse removed
+    "anres_drop02": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
+                     "posterior_drate": 0.02},
+    "anres_drop05": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
+                     "posterior_drate": 0.05},
+    "anres_drop10": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
+                     "posterior_drate": 0.10},
+    # q3's stable winner (noin_resw10: final=best=0.24, whiteness 1.0,
+    # tau under-dispersed 0.5x) + weak-dropout sampler to restore it
+    "noinres": {"instance_noise": 0.0, "res_loss_weight": 10.0},
+    "noinres_drop02": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                       "posterior_drate": 0.02},
+    "noinres_drop05": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                       "posterior_drate": 0.05},
+    "noinres_drop10": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                       "posterior_drate": 0.10},
+    "noinres_temp15": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                       "posterior_temp": 1.5},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)
