@@ -104,6 +104,21 @@ class BurstSmokeConfig:
                                       # a variational sampler that restores
                                       # dispersion a collapsed G lost, without
                                       # the full training-noise level
+    posterior_noise: float = 0.0      # if >0: add fresh N(0, this·n_sig)
+                                      # measurement noise to each G draw
+                                      # before the CNN — dispersion then
+                                      # comes from the likelihood's own noise
+                                      # scale (a parametric bootstrap through
+                                      # the point estimator) instead of a
+                                      # tuned dropout rate. Pair with
+                                      # pe_noise_frac > 0 so the CNN is
+                                      # noise-calibrated (the flagship CNN's
+                                      # augmentation idiom, ref
+                                      # bbhMahoGANy.py:1160-1161)
+    pe_noise_frac: float = 0.0        # fraction of each CNN batch that gets
+                                      # N(0, U(0,5)·n_sig) noise added (ref
+                                      # flagship idiom; burst ref trained
+                                      # clean, ref burstMahoGANy.py:732-771)
     anneal_frac: float = 0.0          # terminal anneal: for the last
                                       # anneal_frac of GAN iterations, freeze
                                       # D and zero the adversarial G term so
@@ -147,7 +162,9 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
 
     # ---- CNN PE (ref: :732-771) ----------------------------------------
     pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
-                       noise_frac=0.0, max_normalize=True,
+                       noise_frac=cfg.pe_noise_frac,
+                       noise_scale_max=2.0 * cfg.n_sig,
+                       max_normalize=True,
                        max_per_sample=cfg.per_sample_max)
     pe_model = BurstPE()
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
@@ -159,7 +176,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     cache_mgr = None
     if cfg.cnn_cache:
         tag = (f"s{cfg.seed}_i{cfg.pe_iters}_n{cfg.n_pix}_b{cfg.batch_size}"
-               f"_sig{cfg.n_signals}_psm{int(cfg.per_sample_max)}")
+               f"_sig{cfg.n_signals}_psm{int(cfg.per_sample_max)}"
+               + (f"_pnf{cfg.pe_noise_frac}" if cfg.pe_noise_frac else ""))
         cache_mgr = CheckpointManager(os.path.join(cfg.cnn_cache, tag), max_to_keep=1)
     restored = None
     if cache_mgr is not None and cache_mgr.latest_step() is not None:
@@ -241,7 +259,14 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                                           dropout=samp_dropout,
                                           temp=cfg.posterior_temp))
         wf = jnp.concatenate(parts, axis=0)
-        samples = np.asarray(cnn_predict(pe_model, pe_state, normalize_max(wf, pe_cfg)))
+        wf_in = wf
+        if cfg.posterior_noise > 0:
+            # parametric bootstrap: fresh measurement-scale noise on each
+            # draw, dispersing the estimates by the likelihood's own width
+            key, kn = jax.random.split(key)
+            wf_in = wf + cfg.posterior_noise * cfg.n_sig * jax.random.normal(
+                kn, wf.shape, wf.dtype)
+        samples = np.asarray(cnn_predict(pe_model, pe_state, normalize_max(wf_in, pe_cfg)))
         return wf, samples
 
     from gennet_tpu.train.gan import knobs_from_cfg

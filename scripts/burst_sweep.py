@@ -93,6 +93,13 @@ VARIANTS = {
                        "posterior_drate": 0.10},
     "noinres_temp15": {"instance_noise": 0.0, "res_loss_weight": 10.0,
                        "posterior_temp": 1.5},
+    # parametric-bootstrap sampler: noise-calibrated CNN + fresh n_sig noise
+    # on draws — dispersion set by the likelihood, not a dropout knob
+    "noinres_boot": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                     "pe_noise_frac": 0.5, "posterior_noise": 1.0},
+    "anres_boot": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
+                   "pe_noise_frac": 0.5, "posterior_noise": 1.0},
+    "boot": {"pe_noise_frac": 0.5, "posterior_noise": 1.0},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)

@@ -24,6 +24,21 @@ def test_burst_smoke_tiny(tmp_path):
     assert 0.0 <= out["grid_overlap"] <= 1.0
 
 
+def test_burst_smoke_tiny_bootstrap_anneal(tmp_path):
+    """Exercise the bootstrap sampler (noise-calibrated CNN + fresh-noise
+    draws) and the terminal anneal in one tiny run."""
+    cfg = BurstSmokeConfig(
+        n_pix=128, n_signals=512, gan_iters=6, pe_iters=6, cadence=5,
+        batch_size=8, n_posterior=32, pe_grain=21,
+        pe_noise_frac=0.5, posterior_noise=1.0, anneal_frac=0.5,
+        res_loss_weight=10.0,
+        out_dir=str(tmp_path / "burst"), plots=False,
+    )
+    out = run_burst_smoke(cfg)
+    assert np.isfinite(out["rms"]).all()
+    assert 0.0 <= out["grid_overlap"] <= 1.0
+
+
 def test_blob_toy_tiny(tmp_path):
     cfg = BlobToyConfig(
         n_pix=16, n_signals=256, pe_iters=6, mc_pe_iters=6, gan_iters=6,
