@@ -667,6 +667,9 @@ class BBHConfig:
     g_ema_decay: float = 0.0            # EMA of G params (see burst note:
                                         # measured harmful at these scales)
     posterior_temp: float = 1.0         # latent temperature for draws
+    posterior_noise: float = 0.0        # fresh N(0, this·n_sig) noise on each
+                                        # draw before the CNN (parametric
+                                        # bootstrap; see burst config)
     n_snapshots: int = 1                # posterior pooled over k recent
                                         # eval-cadence states (1 = reference)
     grid_grain: int = 95                # exact-grid posterior resolution for
@@ -893,7 +896,14 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                                           dropout=cfg.posterior_dropout,
                                           temp=cfg.posterior_temp))
         wf = jnp.concatenate(parts, axis=0)
-        samples = np.asarray(cnn_predict(pe_model, pe_state, wf))
+        wf_in = wf
+        if cfg.posterior_noise > 0:
+            # parametric bootstrap through the noise-augmented CNN (its
+            # training already covers N(0, U(0,5)) inputs, ref :1160-1161)
+            key, kn = jax.random.split(key)
+            wf_in = wf + cfg.posterior_noise * cfg.n_sig * jax.random.normal(
+                kn, wf.shape, wf.dtype)
+        samples = np.asarray(cnn_predict(pe_model, pe_state, wf_in))
         return wf, samples
 
     def eval_posterior(states, key, step, tag=None):

@@ -100,6 +100,15 @@ VARIANTS = {
     "anres_boot": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
                    "pe_noise_frac": 0.5, "posterior_noise": 1.0},
     "boot": {"pe_noise_frac": 0.5, "posterior_noise": 1.0},
+    # noise-augmented CNN WITHOUT added draw noise: pure de-biasing of the
+    # estimates on imperfect G draws (a clean-trained CNN is measured to be
+    # catastrophically biased off-manifold: bootstrap-of-truth t0 0.12 vs
+    # 0.5, overlap 0.0)
+    "noinres_pnf": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                    "pe_noise_frac": 0.5},
+    "noinres_pnf_drop02": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                           "pe_noise_frac": 0.5, "posterior_drate": 0.02},
+    "resw10_pnf": {"res_loss_weight": 10.0, "pe_noise_frac": 0.5},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)
