@@ -109,6 +109,19 @@ VARIANTS = {
     "noinres_pnf_drop02": {"instance_noise": 0.0, "res_loss_weight": 10.0,
                            "pe_noise_frac": 0.5, "posterior_drate": 0.02},
     "resw10_pnf": {"res_loss_weight": 10.0, "pe_noise_frac": 0.5},
+    # longer-trained noise-augmented CNN (the 20k pnf CNN's residual t0 bias
+    # ~1.6 cells is a convergence artifact) + bigger draw clouds
+    "pnf60": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+              "pe_noise_frac": 0.5, "pe_iters": 60000},
+    "pnf60_n4k": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                  "pe_noise_frac": 0.5, "pe_iters": 60000,
+                  "n_posterior": 4000},
+    "pnf60_boot": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                   "pe_noise_frac": 0.5, "pe_iters": 60000,
+                   "posterior_noise": 1.0, "n_posterior": 4000},
+    "anres_pnf60_boot": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
+                         "pe_noise_frac": 0.5, "pe_iters": 60000,
+                         "posterior_noise": 1.0, "n_posterior": 4000},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)
