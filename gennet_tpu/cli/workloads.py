@@ -119,6 +119,15 @@ class BurstSmokeConfig:
                                       # N(0, U(0,5)·n_sig) noise added (ref
                                       # flagship idiom; burst ref trained
                                       # clean, ref burstMahoGANy.py:732-771)
+    pe_no_norm: bool = False          # drop the reference's batch-max CNN
+                                      # input normalization entirely (ref
+                                      # burstMahoGANy.py:738). Whitened
+                                      # units are already physical; batch-max
+                                      # coupling makes every sample's scale
+                                      # depend on the batch's noise peaks —
+                                      # measured to bias τ low on noisy
+                                      # inputs and to break the noise-
+                                      # augmented CNN on clean ones
     anneal_frac: float = 0.0          # terminal anneal: for the last
                                       # anneal_frac of GAN iterations, freeze
                                       # D and zero the adversarial G term so
@@ -164,7 +173,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
                        noise_frac=cfg.pe_noise_frac,
                        noise_scale_max=2.0 * cfg.n_sig,
-                       max_normalize=True,
+                       max_normalize=not cfg.pe_no_norm,
                        max_per_sample=cfg.per_sample_max)
     pe_model = BurstPE()
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
@@ -177,7 +186,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     if cfg.cnn_cache:
         tag = (f"s{cfg.seed}_i{cfg.pe_iters}_n{cfg.n_pix}_b{cfg.batch_size}"
                f"_sig{cfg.n_signals}_psm{int(cfg.per_sample_max)}"
-               + (f"_pnf{cfg.pe_noise_frac}" if cfg.pe_noise_frac else ""))
+               + (f"_pnf{cfg.pe_noise_frac}" if cfg.pe_noise_frac else "")
+               + ("_nonorm" if cfg.pe_no_norm else ""))
         cache_mgr = CheckpointManager(os.path.join(cfg.cnn_cache, tag), max_to_keep=1)
     restored = None
     if cache_mgr is not None and cache_mgr.latest_step() is not None:

@@ -40,7 +40,11 @@ class CNNConfig:
 
 def normalize_max(x: jnp.ndarray, cfg: CNNConfig) -> jnp.ndarray:
     """The burst workload's max normalization (ref: burstMahoGANy.py:738):
-    batch-global by default, per-sample when ``cfg.max_per_sample``."""
+    batch-global by default, per-sample when ``cfg.max_per_sample``,
+    identity when ``cfg.max_normalize`` is off (whitened units are already
+    physical — batch-max coupling biases τ low on noisy inputs)."""
+    if not cfg.max_normalize:
+        return x
     if cfg.max_per_sample:
         return x / (jnp.max(x, axis=tuple(range(1, x.ndim)), keepdims=True) + 1e-12)
     return x / jnp.max(x)

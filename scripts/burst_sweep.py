@@ -122,6 +122,19 @@ VARIANTS = {
     "anres_pnf60_boot": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
                          "pe_noise_frac": 0.5, "pe_iters": 60000,
                          "posterior_noise": 1.0, "n_posterior": 4000},
+    # no input normalization: remove the batch-max scale coupling (measured:
+    # it biases tau low on noisy inputs and breaks the augmented CNN on
+    # clean ones)
+    "nn_boot": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                "pe_noise_frac": 0.5, "pe_iters": 60000, "pe_no_norm": True,
+                "posterior_noise": 1.0, "n_posterior": 4000},
+    "nn_anres_boot": {"res_loss_weight": 10.0, "anneal_frac": 0.1,
+                      "pe_noise_frac": 0.5, "pe_iters": 60000,
+                      "pe_no_norm": True, "posterior_noise": 1.0,
+                      "n_posterior": 4000},
+    "nn_plain": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                 "pe_noise_frac": 0.5, "pe_iters": 60000,
+                 "pe_no_norm": True, "n_posterior": 4000},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)
