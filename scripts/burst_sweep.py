@@ -135,6 +135,11 @@ VARIANTS = {
     "nn_plain": {"instance_noise": 0.0, "res_loss_weight": 10.0,
                  "pe_noise_frac": 0.5, "pe_iters": 60000,
                  "pe_no_norm": True, "n_posterior": 4000},
+    # tuned bootstrap scale (CPU ceiling: 0.83 @ 0.7sigma vs 0.77 @ 1.0)
+    "nn_boot07": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                  "pe_noise_frac": 0.5, "pe_iters": 60000,
+                  "pe_no_norm": True, "posterior_noise": 0.7,
+                  "n_posterior": 4000},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)
