@@ -926,6 +926,16 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         w_score = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
         out = {"whiteness": w_score, "ws": ws, "wf": wf, "samples": samples,
                "beta": None, "grid_overlap": None}
+        if grid is not None:
+            # cloud diagnostics vs the exact grid (same fields as the burst
+            # workload: bias in exact-σ units, dispersion ratio)
+            gm = gp.grid_moments(grid[0], grid[1], grid[2])
+            log.log(step, {
+                "bias_mc": (float(samples[:, 0].mean()) - gm[0]) / max(gm[2], 1e-12),
+                "bias_q": (float(samples[:, 1].mean()) - gm[1]) / max(gm[3], 1e-12),
+                "disp_mc": float(samples[:, 0].std()) / max(gm[2], 1e-12),
+                "disp_q": float(samples[:, 1].std()) / max(gm[3], 1e-12),
+            })
         if ref_samples is not None:
             if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
                 out["beta"] = ov.beta_overlap(samples, ref_samples)
