@@ -10,7 +10,6 @@ grid is one broadcast JAX expression.
 import jax.numpy as jnp
 import numpy as np
 
-from gennet_tpu.physics.burst import sine_gaussian
 
 
 def burst_grid_posterior(measured: jnp.ndarray, n_sig: float = 0.25, grain: int = 95,
@@ -23,15 +22,23 @@ def burst_grid_posterior(measured: jnp.ndarray, n_sig: float = 0.25, grain: int 
     Returns (L[grain, grain] with axes (τ, t0) as the reference transposes,
     t0 grid, τ grid).
     """
-    t0 = jnp.linspace(*t0_range, grain)
-    tau = jnp.linspace(*tau_range, grain)
-    T0, TAU = jnp.meshgrid(t0, tau, indexing="ij")
-    templ = sine_gaussian(T0.ravel(), TAU.ravel(), N=measured.shape[-1])
-    d = measured.reshape(1, -1)
-    logL = -0.5 * jnp.sum(((d - templ) / n_sig) ** 2, axis=-1)
+    # host-side numpy: the grid is eval infrastructure (9k templates × n_pix
+    # once per run) — keeping it off the accelerator avoids competing with
+    # the training program for the device
+    t0 = np.linspace(*t0_range, grain)
+    tau = np.linspace(*tau_range, grain)
+    T0, TAU = np.meshgrid(t0, tau, indexing="ij")
+    N = measured.shape[-1]
+    t = np.arange(N) / 512.0
+    x = t[None, :] - T0.ravel()[:, None]
+    tt = TAU.ravel()[:, None]
+    # float64 host evaluation of physics.burst.sine_gaussian's formula
+    templ = np.sin(2.0 * np.pi * 100.0 * x + 2.0 * np.pi) * np.exp(-(x**2) / tt**2)
+    d = np.asarray(measured, np.float64).reshape(1, -1)
+    logL = -0.5 * np.sum(((d - templ) / n_sig) ** 2, axis=-1)
     logL = logL.reshape(grain, grain).T  # (τ, t0), as the reference
-    L = jnp.exp(logL - jnp.max(logL))
-    return L, np.asarray(t0), np.asarray(tau)
+    L = np.exp(logL - np.max(logL))
+    return jnp.asarray(L), t0, tau
 
 
 def bbh_grid_posterior(measured: jnp.ndarray, psd: jnp.ndarray, bank_cfg,
