@@ -128,6 +128,21 @@ class BurstSmokeConfig:
                                       # measured to bias τ low on noisy
                                       # inputs and to break the noise-
                                       # augmented CNN on clean ones
+    freeze_on_res: float = 0.0        # truth-free early stopping: once the
+                                      # residual-moment loss drops below this
+                                      # threshold at a cadence point (G has
+                                      # locked onto the event), freeze ALL
+                                      # training (D gate off, adversarial and
+                                      # residual weights 0) for the rest of
+                                      # the schedule — the final state is
+                                      # then the first converged state
+                                      # instead of whatever the adversarial
+                                      # drift leaves behind. Measured: the
+                                      # converged regime sits at res_loss
+                                      # ~7e-5 vs ≥5e-4 unconverged, and the
+                                      # reference's fixed 50k schedule
+                                      # destroys the 15-18k convergence
+                                      # window it passes through.
     anneal_frac: float = 0.0          # terminal anneal: for the last
                                       # anneal_frac of GAN iterations, freeze
                                       # D and zero the adversarial G term so
@@ -285,19 +300,33 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     anneal_knobs = base_knobs.replace(
         d_acc_gate=jnp.asarray(-1.0, jnp.float32),    # never update D
         adv_weight=jnp.asarray(0.0, jnp.float32))     # residual route only
+    freeze_knobs = anneal_knobs.replace(
+        res_loss_weight=jnp.asarray(0.0, jnp.float32))  # full freeze
     anneal_start = int(cfg.gan_iters * (1.0 - cfg.anneal_frac))
 
     score = 0.0
     best_score = -1.0
     best_state = gan_state
     n_cad = 0
+    frozen_at = None
     log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
     for i0 in range(0, cfg.gan_iters, chunk):
         key, sub = jax.random.split(key)
-        knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
+        if frozen_at is not None:
+            knobs = freeze_knobs
+        elif cfg.anneal_frac > 0 and i0 >= anneal_start:
+            knobs = anneal_knobs
+        else:
+            knobs = base_knobs
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
+        if (cfg.freeze_on_res > 0 and frozen_at is None
+                and float(m["res_loss"]) < cfg.freeze_on_res
+                and float(m["res_loss"]) > 0.0):
+            frozen_at = i0 + chunk
+            print(f"converged (res_loss {float(m['res_loss']):.2e} < "
+                  f"{cfg.freeze_on_res:.0e}) — training frozen at {frozen_at}")
         i = i0 + chunk if chunk > 1 else i0
         if i % cfg.cadence == 0 and i > 0:
             log.log(i, m)
@@ -380,6 +409,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     return {"rms": rms, "pe_std": pe_std,
             "grid_overlap": final_score,          # final-state score (the gate)
             "grid_overlap_best": best_score,      # best cadence state (diagnostic)
+            "frozen_at": frozen_at,               # early-stop step (None = ran full)
             "whiteness": whiteness}
 
 

@@ -140,6 +140,13 @@ VARIANTS = {
                   "pe_noise_frac": 0.5, "pe_iters": 60000,
                   "pe_no_norm": True, "posterior_noise": 0.7,
                   "n_posterior": 4000},
+    # champion + truth-free early stopping (freeze all training once
+    # res_loss < 2e-4, i.e. G locked onto the event) — survives the
+    # reference's full 50k schedule with the converged state as final
+    "nn_freeze": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                  "pe_noise_frac": 0.5, "pe_iters": 60000,
+                  "pe_no_norm": True, "n_posterior": 4000,
+                  "freeze_on_res": 2e-4},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)
@@ -170,6 +177,7 @@ def run_one(name, seed, iters):
         "grid_overlap_final": out["grid_overlap"],
         "grid_overlap_best": out["grid_overlap_best"],
         "whiteness": out["whiteness"], "rms": out["rms"],
+        "frozen_at": out.get("frozen_at"),
         "wall_s": round(time.time() - t0, 1),
     }
     os.makedirs("out/sweeps", exist_ok=True)
