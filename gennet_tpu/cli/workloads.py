@@ -300,8 +300,6 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     anneal_knobs = base_knobs.replace(
         d_acc_gate=jnp.asarray(-1.0, jnp.float32),    # never update D
         adv_weight=jnp.asarray(0.0, jnp.float32))     # residual route only
-    freeze_knobs = anneal_knobs.replace(
-        res_loss_weight=jnp.asarray(0.0, jnp.float32))  # full freeze
     anneal_start = int(cfg.gan_iters * (1.0 - cfg.anneal_frac))
 
     score = 0.0
@@ -312,12 +310,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
     for i0 in range(0, cfg.gan_iters, chunk):
         key, sub = jax.random.split(key)
-        if frozen_at is not None:
-            knobs = freeze_knobs
-        elif cfg.anneal_frac > 0 and i0 >= anneal_start:
-            knobs = anneal_knobs
-        else:
-            knobs = base_knobs
+        knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
@@ -327,6 +320,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             frozen_at = i0 + chunk
             print(f"converged (res_loss {float(m['res_loss']):.2e} < "
                   f"{cfg.freeze_on_res:.0e}) — training frozen at {frozen_at}")
+            break  # frozen knobs make the remaining schedule a no-op
         i = i0 + chunk if chunk > 1 else i0
         if i % cfg.cadence == 0 and i > 0:
             log.log(i, m)
@@ -704,6 +698,10 @@ class BBHConfig:
     anneal_frac: float = 0.0            # terminal anneal (see burst config);
                                         # needs res_loss_weight > 0 to keep a
                                         # G gradient during the annealed tail
+    freeze_on_res: float = 0.0          # truth-free early stop (see burst
+                                        # config): freeze all training once
+                                        # res_loss < threshold (requires
+                                        # res_loss_weight > 0)
     g_ema_decay: float = 0.0            # EMA of G params (see burst note:
                                         # measured harmful at these scales)
     posterior_temp: float = 1.0         # latent temperature for draws
@@ -990,6 +988,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     beta_hist, beta_steps = [], []
     best_white, best_state = -1.0, gan_state
+    frozen_at = None
     log.steps_per_sec(start)  # reset the steps/sec window for the GAN phase
     for i0 in range(start, cfg.gan_iters, chunk):
         key, sub = jax.random.split(key)
@@ -997,6 +996,14 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
+        if (cfg.freeze_on_res > 0 and frozen_at is None
+                and 0.0 < float(m["res_loss"]) < cfg.freeze_on_res):
+            frozen_at = i0 + chunk
+            print(f"converged (res_loss {float(m['res_loss']):.2e}) — "
+                  f"training frozen at {frozen_at}")
+            break  # frozen knobs make the remaining schedule a no-op
+            # (params cannot change; BN stats would only re-estimate the
+            # same distribution — stopping is exact, not approximate)
         i = i0 + chunk if chunk > 1 else i0
         if i % cfg.cadence == 0 and i > 0:
             # cheap jitted metrics: ALWAYS logged, full-run observability
@@ -1064,6 +1071,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         "grid_overlap": grid_overlap_final,
         "cnn_sanity_beta": cnn_sanity_beta,
         "final_step": int(gan_state.step),
+        "frozen_at": frozen_at,
         "whiteness": whiteness,
         "pe_rms": pe_rms,
         "pe_std": pe_std,
