@@ -59,25 +59,33 @@ class BurstSmokeConfig:
     n_sig: float = 0.25
     batch_size: int = 64
     gan_iters: int = 50_000
-    pe_iters: int = 20_000            # the reference's 1000 (ref: :39) leaves
+    pe_iters: int = 60_000            # the reference's 1000 (ref: :39) leaves
                                       # the CNN as the accuracy bottleneck:
                                       # measured sanity bound 0.19 at 1k vs
-                                      # 0.98 at 20k iterations (45 s on TPU)
+                                      # 0.98 at 20k; 60k converges the
+                                      # noise-augmented variant (~2 min TPU)
     lr: float = 2e-4
     cadence: int = 100
     pe_grain: int = 95
-    n_posterior: int = 1000
-    label_smoothing: bool = True      # with instance noise, the pair that
-    instance_noise: float = -1.0      # stabilizes the scheme (measured on
-                                      # TPU: alone each collapses; together
-                                      # corr(gen, signal) ≈ 0.9). −1 → n_sig.
+    n_posterior: int = 4000
+    label_smoothing: bool = True      # one-sided smoothing kept from r1
+    instance_noise: float = 0.0       # r2 measured: instance noise at n_sig
+                                      # caps waveform fidelity at corr ~0.6
+                                      # (r1 default was n_sig via −1; the
+                                      # high-residual-weight recipe below
+                                      # stabilizes without it; set −1 to get
+                                      # the r1 behavior back)
     d_lr_scale: float = 0.5           # slow D to avoid late-run divergence
     d_acc_gate: float = 0.0           # adaptive D/G balance: skip the D update
                                       # while its batch accuracy ≥ gate (0 =
                                       # off = reference's fixed schedule)
     diversity_weight: float = 0.0     # mode-seeking regularizer on G draws
     r1_gamma: float = 0.0             # R1 gradient penalty on D (γ/2·E‖∇ₓD‖²)
-    res_loss_weight: float = 1.0      # weight of the residual-moment route
+    res_loss_weight: float = 10.0     # weight of the residual-moment route
+                                      # (r2 measured: the single biggest
+                                      # localization lever — D cannot
+                                      # penalize wrong (t0,τ) since the bank
+                                      # spans the whole prior)
     posterior_temp: float = 1.0       # latent temperature for posterior draws
     per_sample_max: bool = False      # CNN max-normalization per sample
                                       # instead of per batch (ablation of the
@@ -115,11 +123,11 @@ class BurstSmokeConfig:
                                       # noise-calibrated (the flagship CNN's
                                       # augmentation idiom, ref
                                       # bbhMahoGANy.py:1160-1161)
-    pe_noise_frac: float = 0.0        # fraction of each CNN batch that gets
+    pe_noise_frac: float = 0.5        # fraction of each CNN batch that gets
                                       # N(0, U(0,5)·n_sig) noise added (ref
                                       # flagship idiom; burst ref trained
                                       # clean, ref burstMahoGANy.py:732-771)
-    pe_no_norm: bool = False          # drop the reference's batch-max CNN
+    pe_no_norm: bool = True           # drop the reference's batch-max CNN
                                       # input normalization entirely (ref
                                       # burstMahoGANy.py:738). Whitened
                                       # units are already physical; batch-max
@@ -142,7 +150,23 @@ class BurstSmokeConfig:
                                       # ~7e-5 vs ≥5e-4 unconverged, and the
                                       # reference's fixed 50k schedule
                                       # destroys the 15-18k convergence
-                                      # window it passes through.
+                                      # window it passes through. CAVEAT
+                                      # (measured, seed 1): the moment loss
+                                      # can dip below threshold without
+                                      # morphology lock — prefer
+                                      # freeze_on_white.
+    freeze_on_white: float = 0.99     # truth-free early stopping on the
+                                      # residual-whiteness score of the
+                                      # eval-cadence posterior draws
+                                      # (mean/var/Ljung-Box pass fraction,
+                                      # the reference's own implicit
+                                      # validation idiom — SURVEY §4.4):
+                                      # freeze training at the first eval
+                                      # whose draws leave h(t)−x white at
+                                      # ≥ this score. Morphology-aware —
+                                      # leftover signal in the residual
+                                      # fails Ljung-Box — and uses only the
+                                      # measured data, never the truth.
     anneal_frac: float = 0.0          # terminal anneal: for the last
                                       # anneal_frac of GAN iterations, freeze
                                       # D and zero the adversarial G term so
@@ -358,6 +382,20 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                       f"wf_corr: {diag['wf_corr']:.4f}")
                 if score > best_score:
                     best_score, best_state = score, gan_state
+            if cfg.freeze_on_white > 0 and frozen_at is None:
+                from gennet_tpu.eval.whiteness import whiteness_score
+
+                resid = (np.asarray(measured)[None, :]
+                         - _wf2d[:256]) / cfg.n_sig
+                ws = whiteness_score(resid, 1.0)
+                w = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
+                diag["whiteness"] = w
+                if w >= cfg.freeze_on_white:
+                    frozen_at = i
+                    log.log(i, diag)
+                    print(f"residuals white ({w:.3f} ≥ {cfg.freeze_on_white}) "
+                          f"— training frozen at {i}")
+                    break
             log.log(i, diag)
             if cfg.plots:
                 from gennet_tpu.eval import plots as P

@@ -21,8 +21,13 @@ BASE = BurstSmokeConfig(plots=False, cadence=500, eval_every=5,
                         cnn_cache="out/sweeps/cnn_cache")
 
 VARIANTS = {
+    # the r2 DEFAULT recipe (noin + resw10 + noise-augmented unnormalized
+    # CNN + whiteness-gated early stop) — config defaults, no overrides
+    "default": {},
     # round-1 recipe re-run under the refactored step (parity check)
-    "base": {},
+    "base": {"instance_noise": -1.0, "res_loss_weight": 1.0,
+             "pe_iters": 20000, "pe_noise_frac": 0.0, "pe_no_norm": False,
+             "n_posterior": 1000, "freeze_on_white": 0.0},
     # adaptive D/G balance: D updates only while its accuracy < gate
     "gate90": {"d_acc_gate": 0.90},
     "gate75": {"d_acc_gate": 0.75},
