@@ -740,6 +740,10 @@ class BBHConfig:
                                         # config): freeze all training once
                                         # res_loss < threshold (requires
                                         # res_loss_weight > 0)
+    freeze_on_white: float = 0.0        # truth-free early stop on the eval-
+                                        # cadence residual-whiteness score
+                                        # (see burst config; morphology-
+                                        # aware, uses only measured data)
     g_ema_decay: float = 0.0            # EMA of G params (see burst note:
                                         # measured harmful at these scales)
     posterior_temp: float = 1.0         # latent temperature for draws
@@ -1054,6 +1058,13 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             ev = eval_posterior(list(snapshots), sub, i)
             if ev["whiteness"] > best_white:
                 best_white, best_state = ev["whiteness"], gan_state
+            if (cfg.freeze_on_white > 0 and frozen_at is None
+                    and ev["whiteness"] >= cfg.freeze_on_white):
+                frozen_at = i
+                print(f"residuals white ({ev['whiteness']:.3f} ≥ "
+                      f"{cfg.freeze_on_white}) — training frozen at {i}")
+                gan_ckpt.save(i, gan_state)
+                break
             if ev["beta"] is not None:
                 beta_hist.append(ev["beta"])
                 beta_steps.append(i)
