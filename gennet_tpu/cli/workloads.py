@@ -1009,6 +1009,11 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         if ref_samples is not None:
             if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
                 out["beta"] = ov.beta_overlap(samples, ref_samples)
+                if sanity_cloud is not None:
+                    # β vs the CNN-sanity cloud (the reference-posterior
+                    # proxy the VERDICT names): GAN and reference clouds
+                    # pass through the SAME estimator, so CNN biases cancel
+                    out["beta_sanity"] = ov.beta_overlap(samples, sanity_cloud)
                 if grid is not None:
                     out["grid_overlap"] = gp.grid_overlap_score(samples, grid[0], grid[1], grid[2])
             else:
@@ -1016,7 +1021,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 # a collapsed posterior has zero overlap by definition
                 out["beta"] = 0.0
                 out["grid_overlap"] = 0.0 if grid is not None else None
-        row = {k: out[k] for k in ("whiteness", "beta", "grid_overlap") if out[k] is not None}
+        row = {k: out[k] for k in ("whiteness", "beta", "beta_sanity", "grid_overlap")
+               if out.get(k) is not None}
         log.log(step, row if tag is None else {f"{k}_{tag}": v for k, v in row.items()})
         return out
 
@@ -1090,7 +1096,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     # ---- FINAL-state artifacts (the reference uses the last iteration's
     # state, ref: :1241); best-whiteness state persisted as a diagnostic ----
-    whiteness = beta_final = grid_overlap_final = None
+    whiteness = beta_final = grid_overlap_final = beta_sanity_final = None
     if cfg.gan_iters > start:
         key, sub = jax.random.split(key)
         final_states = [gan_state] if cfg.n_snapshots <= 1 else \
@@ -1098,9 +1104,12 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         ev = eval_posterior(final_states, sub, cfg.gan_iters, tag="final")
         whiteness, beta_final = ev["ws"], ev["beta"]
         grid_overlap_final = ev["grid_overlap"]
+        beta_sanity_final = ev.get("beta_sanity")
         print(f"final-state residual whiteness: {whiteness}")
         if beta_final is not None:
             print(f"final-state beta: {beta_final:.4f}" +
+                  ("" if beta_sanity_final is None
+                   else f"  beta vs sanity cloud: {beta_sanity_final:.4f}") +
                   ("" if grid_overlap_final is None
                    else f"  grid overlap: {grid_overlap_final:.4f}"))
         if cfg.plots:
@@ -1116,6 +1125,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     log.close()
     return {
         "beta": beta_final,
+        "beta_sanity": beta_sanity_final,
         "beta_hist_last": beta_hist[-1] if beta_hist else None,
         "grid_overlap": grid_overlap_final,
         "cnn_sanity_beta": cnn_sanity_beta,
