@@ -77,7 +77,8 @@ def main():
                 "disp_mc": s[:, 0].std() / max(gm[2], 1e-12),
                 "disp_q": s[:, 1].std() / max(gm[3], 1e-12),
             }
-            print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+            print(json.dumps({k: (round(float(v), 4)
+                                  if not isinstance(v, (bool, str)) else v)
                               for k, v in row.items()}), flush=True)
 
 
