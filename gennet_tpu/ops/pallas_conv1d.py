@@ -38,16 +38,18 @@ def _apply_act(y, act: str, slope: float):
     return y
 
 
-def _conv1d_kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *, K, bl, act, slope):
+def _conv1d_kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *, K, bl, W, act, slope):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
-    # one haloed row-window DMA per (b, i); reused across Cout blocks j
+    # one haloed row-window DMA per (b, i); reused across Cout blocks j.
+    # W = bl + K - 1 rounded up to the sublane tile (8) — Mosaic requires
+    # 8-aligned slice shapes on the second-minor dim.
     @pl.when(j == 0)
     def _():
         dma = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(i * bl, bl + K - 1), :], xwin, sem
+            x_hbm.at[b, pl.ds(i * bl, W), :], xwin, sem
         )
         dma.start()
         dma.wait()
@@ -74,22 +76,29 @@ def conv1d_same(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
     pad = (K - 1) // 2
 
     bl = min(bl, max(8, L))
+    bl = ((bl + 7) // 8) * 8            # sublane-tile aligned row block
     Lp = ((L + bl - 1) // bl) * bl
     bc = min(bc, max(128, Cout))
     Cp = ((Cout + bc - 1) // bc) * bc
+    W = bl + K - 1
+    W += (-W) % 8                       # 8-aligned DMA window shape
+    Cin_p = ((Cin + 127) // 128) * 128  # 128-lane-aligned contract dim
 
-    # SAME zero padding + row-tile padding, one HBM-resident operand
-    xp = jnp.pad(x, ((0, 0), (pad, pad + (Lp - L)), (0, 0)))
-    wp = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - Cout)))
+    # SAME zero padding + row-tile padding (+ halo-alignment tail so the
+    # last block's W-row window stays in bounds) + lane padding of the
+    # contract dim, one HBM-resident operand
+    xp = jnp.pad(x, ((0, 0), (pad, pad + (Lp - L) + (W - (bl + K - 1))),
+                     (0, Cin_p - Cin)))
+    wp = jnp.pad(w, ((0, 0), (0, Cin_p - Cin), (0, Cp - Cout)))
     bp = jnp.pad(bias, (0, Cp - Cout)).reshape(1, Cp)
 
     grid = (B, Lp // bl, Cp // bc)
     out = pl.pallas_call(
-        partial(_conv1d_kernel, K=K, bl=bl, act=act, slope=slope),
+        partial(_conv1d_kernel, K=K, bl=bl, W=W, act=act, slope=slope),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
-            pl.BlockSpec((K, Cin, bc), lambda b, i, j: (0, 0, j),
+            pl.BlockSpec((K, Cin_p, bc), lambda b, i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bc), lambda b, i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -98,7 +107,7 @@ def conv1d_same(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Lp, Cp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bl + K - 1, Cin), jnp.float32),
+            pltpu.VMEM((W, Cin_p), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
