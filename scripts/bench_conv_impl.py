@@ -47,19 +47,23 @@ def time_impl(impl: str, batch: int, scan: int):
     except Exception as e:  # pallas custom calls may lack cost analysis
         print(f"[{impl}] cost_analysis unavailable: {e}")
 
+    import numpy as np
+
     step = gan_mod.make_gan_step_scan(G, D, cfg, scan)
     key = jax.random.PRNGKey(4)
     t0 = time.perf_counter()
     state, m = step(state, bank, measured, key)
-    jax.block_until_ready(m)
-    print(f"[{impl}] compile+first: {time.perf_counter() - t0:.1f}s")
+    float(np.asarray(m["d_loss"])[-1])   # host transfer: forces REMOTE completion
+    print(f"[{impl}] compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    reps = 5
+    reps = max(1, 1000 // scan)
     t0 = time.perf_counter()
     for _ in range(reps):
         key, sub = jax.random.split(key)
         state, m = step(state, bank, measured, sub)
-    jax.block_until_ready(m)
+    float(np.asarray(m["d_loss"])[-1])   # ditto — block_until_ready on this
+                                         # backend only waits for the local
+                                         # handle, not remote execution
     dt = time.perf_counter() - t0
     sps = reps * scan / dt
     row = {"impl": impl, "batch": batch, "steps_per_sec": round(sps, 2)}
