@@ -155,6 +155,16 @@ class BurstSmokeConfig:
                                       # can dip below threshold without
                                       # morphology lock — prefer
                                       # freeze_on_white.
+    gan_restarts: int = 2             # random restarts: if the schedule
+                                      # ends with no white state found
+                                      # (convergence is event/seed
+                                      # dependent — measured 1/3 seeds at
+                                      # default), re-init the GAN with a
+                                      # fresh key and rerun, up to this many
+                                      # times. Truth-free (gated on the
+                                      # whiteness criterion); the reference's
+                                      # human-in-the-loop rerun workflow,
+                                      # automated.
     freeze_on_white: float = 0.99     # truth-free early stopping on the
                                       # residual-whiteness score of the
                                       # eval-cadence posterior draws
@@ -331,8 +341,28 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     best_state = gan_state
     n_cad = 0
     frozen_at = None
+    restarts = 0
     log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
-    for i0 in range(0, cfg.gan_iters, chunk):
+    i0_iter = iter(range(0, cfg.gan_iters, chunk))
+    while True:
+      try:
+        i0 = next(i0_iter)
+      except StopIteration:
+        # schedule exhausted without convergence: random restart (gated on
+        # the truth-free whiteness criterion; measured: convergence of the
+        # adversarial phase is event/seed dependent)
+        if (frozen_at is not None or restarts >= cfg.gan_restarts
+                or cfg.freeze_on_white <= 0):
+            break
+        restarts += 1
+        print(f"schedule ended unconverged — random restart {restarts}")
+        gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 1000 + restarts),
+                             G, D, gan_cfg)
+        snapshots.clear()
+        n_cad = 0
+        i0_iter = iter(range(0, cfg.gan_iters, chunk))
+        continue
+      if True:
         key, sub = jax.random.split(key)
         knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
