@@ -136,25 +136,17 @@ class BurstSmokeConfig:
                                       # measured to bias τ low on noisy
                                       # inputs and to break the noise-
                                       # augmented CNN on clean ones
-    freeze_on_res: float = 0.0        # truth-free early stopping: once the
-                                      # residual-moment loss drops below this
-                                      # threshold at a cadence point (G has
-                                      # locked onto the event), freeze ALL
-                                      # training (D gate off, adversarial and
-                                      # residual weights 0) for the rest of
-                                      # the schedule — the final state is
-                                      # then the first converged state
-                                      # instead of whatever the adversarial
-                                      # drift leaves behind. Measured: the
-                                      # converged regime sits at res_loss
-                                      # ~7e-5 vs ≥5e-4 unconverged, and the
-                                      # reference's fixed 50k schedule
-                                      # destroys the 15-18k convergence
-                                      # window it passes through. CAVEAT
-                                      # (measured, seed 1): the moment loss
-                                      # can dip below threshold without
-                                      # morphology lock — prefer
-                                      # freeze_on_white.
+    freeze_on_res: float = 2e-4       # residual-moment-loss component of the
+                                      # combined early-stop gate (see
+                                      # freeze_on_white): training freezes
+                                      # when BOTH the eval draws' residuals
+                                      # are white AND res_loss is below this
+                                      # (measured: converged ~7e-5-1.2e-4 vs
+                                      # ≥5e-4 unconverged; either criterion
+                                      # alone false-positives — res on a
+                                      # moment-matched wrong morphology,
+                                      # whiteness on 256-draw sampling luck).
+                                      # ≤0 disables the res component.
     gan_restarts: int = 2             # random restarts: if the schedule
                                       # ends with no white state found
                                       # (convergence is event/seed
@@ -368,13 +360,6 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
-        if (cfg.freeze_on_res > 0 and frozen_at is None
-                and float(m["res_loss"]) < cfg.freeze_on_res
-                and float(m["res_loss"]) > 0.0):
-            frozen_at = i0 + chunk
-            print(f"converged (res_loss {float(m['res_loss']):.2e} < "
-                  f"{cfg.freeze_on_res:.0e}) — training frozen at {frozen_at}")
-            break  # frozen knobs make the remaining schedule a no-op
         i = i0 + chunk if chunk > 1 else i0
         if i % cfg.cadence == 0 and i > 0:
             log.log(i, m)
@@ -420,10 +405,16 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                 ws = whiteness_score(resid, 1.0)
                 w = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
                 diag["whiteness"] = w
-                if w >= cfg.freeze_on_white:
+                # combined gate: white residual draws AND a converged
+                # residual-moment loss (whiteness alone false-positives on
+                # 256 draws — measured: froze a τ-biased corr-0.79 state)
+                res_ok = (cfg.freeze_on_res <= 0
+                          or 0.0 < float(m["res_loss"]) < cfg.freeze_on_res)
+                if w >= cfg.freeze_on_white and res_ok:
                     frozen_at = i
                     log.log(i, diag)
-                    print(f"residuals white ({w:.3f} ≥ {cfg.freeze_on_white}) "
+                    print(f"residuals white ({w:.3f} ≥ {cfg.freeze_on_white},"
+                          f" res_loss {float(m['res_loss']):.2e}) "
                           f"— training frozen at {i}")
                     break
             log.log(i, diag)
