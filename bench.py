@@ -22,10 +22,24 @@ import time
 from functools import partial
 
 import jax
+import numpy as np
 
 TARGET = 1e5          # templates/sec (BASELINE.json:5, v5e-8)
 PEAK_FLOPS = 197e12   # v5e per-chip bf16/MXU peak; JAX's default f32 matmul
                       # precision on TPU executes on the MXU at this rate
+
+
+def _force(x) -> float:
+    """Force REMOTE completion by transferring a scalar to the host.
+
+    On the axon backend ``block_until_ready`` only waits for the local
+    handle, not remote execution (measured: r2's block_until_ready timings
+    reported 102x chip peak). A host transfer of a value that depends on
+    the full computation is the only reliable completion barrier; TPU
+    executes its dispatch queue in order, so waiting on the LAST dispatch
+    also bounds every earlier one.
+    """
+    return float(np.asarray(x))
 
 
 def bench_bank():
@@ -43,21 +57,51 @@ def bench_bank():
         from gennet_tpu.train.mesh import data_mesh
 
         mesh = data_mesh()
-        run = lambda k: tb.make_bank_sharded(k, per_dev * n_dev, psd, mesh, cfg)[0]
+        gen = lambda k: tb.make_bank_sharded(k, per_dev * n_dev, psd, mesh, cfg)[0]
     else:
-        run = lambda k: tb.make_template_batch(k, per_dev, psd, cfg)[0]
+        gen = lambda k: tb.make_template_batch(k, per_dev, psd, cfg)[0]
 
-    t = run(key)
-    t.block_until_ready()
+    # Reduce on device so completion is forced by a scalar transfer, not a
+    # 64 MB bank pull.
+    run = jax.jit(lambda k: jnp_sum(gen(k)))
+
+    # FLOPs per template from the compiled program (for the physicality check)
+    flops_per_template = None
+    try:
+        ca = run.lower(key).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        total = float(ca.get("flops", 0.0))
+        if total > 0:
+            flops_per_template = total / (per_dev * n_dev)
+    except Exception:
+        pass
+
+    _force(run(key))  # compile + warmup
 
     iters = 10
     t0 = time.perf_counter()
+    s = 0.0
     for _ in range(iters):
         key, sub = jax.random.split(key)
-        t = run(sub)
-    t.block_until_ready()
+        s = run(sub)
+    _force(s)  # completion barrier (see _force)
     dt = time.perf_counter() - t0
-    return iters * per_dev * n_dev / dt
+    rate = iters * per_dev * n_dev / dt
+
+    if flops_per_template:
+        achieved = rate * flops_per_template
+        assert achieved < PEAK_FLOPS * n_dev, (
+            f"bank bench reports {achieved/1e12:.1f} TFLOP/s "
+            f"> {n_dev}x chip peak {PEAK_FLOPS*n_dev/1e12:.0f} — timing is broken "
+            "(completion not forced?)")
+    return rate, flops_per_template
+
+
+def jnp_sum(x):
+    import jax.numpy as jnp
+
+    return jnp.sum(x)
 
 
 def bench_gan_step():
@@ -98,14 +142,14 @@ def bench_gan_step():
     step = gan_mod.make_gan_step_scan(G, D, cfg, scan)
     key = jax.random.PRNGKey(4)
     state, m = step(state, bank, measured, key)  # compile + warmup
-    jax.block_until_ready(m)
+    _force(m["d_loss"][-1])  # completion barrier (see _force)
 
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         key, sub = jax.random.split(key)
         state, m = step(state, bank, measured, sub)
-    jax.block_until_ready(m)
+    _force(m["d_loss"][-1])  # completion barrier
     dt = time.perf_counter() - t0
 
     sps = reps * scan / dt
@@ -115,6 +159,9 @@ def bench_gan_step():
         out["gan_flops_per_step"] = flops_per_step
         out["gan_achieved_tflops"] = round(achieved / 1e12, 3)
         out["gan_mfu"] = round(achieved / PEAK_FLOPS, 4)
+        assert out["gan_mfu"] < 1.0, (
+            f"gan_mfu={out['gan_mfu']} >= 1 is physically impossible — "
+            "timing is broken (completion not forced?)")
     return out
 
 
@@ -124,7 +171,7 @@ def main():
     runtime.setup()
 
     gan = bench_gan_step()
-    rate = bench_bank()
+    rate, flops_per_template = bench_bank()
 
     row = {
         "metric": "whitened_templates_per_sec",
@@ -132,6 +179,9 @@ def main():
         "unit": "templates/s",
         "vs_baseline": round(rate / TARGET, 4),
     }
+    if flops_per_template:
+        row["bank_flops_per_template"] = round(flops_per_template)
+        row["bank_achieved_tflops"] = round(rate * flops_per_template / 1e12, 3)
     row.update(gan)
     print(json.dumps(row))
 
