@@ -136,16 +136,21 @@ class BurstSmokeConfig:
                                       # measured to bias τ low on noisy
                                       # inputs and to break the noise-
                                       # augmented CNN on clean ones
-    freeze_on_res: float = 2e-4       # residual-moment-loss component of the
-                                      # combined early-stop gate (see
-                                      # freeze_on_white): training freezes
-                                      # when BOTH the eval draws' residuals
-                                      # are white AND res_loss is below this
-                                      # (measured: converged ~7e-5-1.2e-4 vs
-                                      # ≥5e-4 unconverged; either criterion
-                                      # alone false-positives — res on a
-                                      # moment-matched wrong morphology,
-                                      # whiteness on 256-draw sampling luck).
+    freeze_on_res: float = 2e-5       # UNWEIGHTED residual-moment-loss
+                                      # component of the combined early-stop
+                                      # gate (see freeze_on_white): training
+                                      # freezes when BOTH the eval draws'
+                                      # residuals are white AND
+                                      # res_loss/res_loss_weight is below
+                                      # this. Compared after dividing out
+                                      # res_loss_weight so the threshold
+                                      # means the same raw residual loss at
+                                      # any weight (measured at weight 10:
+                                      # converged ~7e-6-1.2e-5 raw vs ≥5e-5
+                                      # unconverged; either criterion alone
+                                      # false-positives — res on a moment-
+                                      # matched wrong morphology, whiteness
+                                      # on 256-draw sampling luck).
                                       # ≤0 disables the res component.
     gan_restarts: int = 2             # random restarts: if the schedule
                                       # ends with no white state found
@@ -225,8 +230,12 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
 
     cache_mgr = None
     if cfg.cnn_cache:
+        # every field that changes what the trained CNN IS must be in the
+        # key: lr and n_sig (noise_scale_max = 2*n_sig) included so a sweep
+        # varying them never restores a mismatched cache entry
         tag = (f"s{cfg.seed}_i{cfg.pe_iters}_n{cfg.n_pix}_b{cfg.batch_size}"
                f"_sig{cfg.n_signals}_psm{int(cfg.per_sample_max)}"
+               f"_lr{cfg.lr:g}_ns{cfg.n_sig:g}"
                + (f"_pnf{cfg.pe_noise_frac}" if cfg.pe_noise_frac else "")
                + ("_nonorm" if cfg.pe_no_norm else ""))
         cache_mgr = CheckpointManager(os.path.join(cfg.cnn_cache, tag), max_to_keep=1)
@@ -333,97 +342,94 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     best_state = gan_state
     n_cad = 0
     frozen_at = None
-    restarts = 0
     log.steps_per_sec(0)  # reset the steps/sec window for the GAN phase
-    i0_iter = iter(range(0, cfg.gan_iters, chunk))
-    while True:
-      try:
-        i0 = next(i0_iter)
-      except StopIteration:
-        # schedule exhausted without convergence: random restart (gated on
-        # the truth-free whiteness criterion; measured: convergence of the
-        # adversarial phase is event/seed dependent)
-        if (frozen_at is not None or restarts >= cfg.gan_restarts
-                or cfg.freeze_on_white <= 0):
-            break
-        restarts += 1
-        print(f"schedule ended unconverged — random restart {restarts}")
-        gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 1000 + restarts),
-                             G, D, gan_cfg)
-        snapshots.clear()
-        n_cad = 0
-        i0_iter = iter(range(0, cfg.gan_iters, chunk))
-        continue
-      if True:
-        key, sub = jax.random.split(key)
-        knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
-        gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
-        if chunk > 1:
-            m = {k: v[-1] for k, v in m.items()}
-        i = i0 + chunk if chunk > 1 else i0
-        if i % cfg.cadence == 0 and i > 0:
-            log.log(i, m)
-            print(log.status_line(i, m, log.steps_per_sec(i)))
-            n_cad += 1
-            if n_cad % max(1, cfg.snapshot_every) == 0:
-                snapshots.append(gan_state)
-            if n_cad % max(1, cfg.eval_every) != 0:
-                continue
+    # Restart policy: up to gan_restarts fresh-init attempts if a full
+    # schedule ends with no frozen (whiteness-converged) state — the
+    # reference's human rerun workflow, automated. best_score/best_state
+    # deliberately persist ACROSS attempts (they are diagnostics over the
+    # whole campaign); snapshots and the cadence counter reset per attempt
+    # because pooled clouds must not mix generators from different inits.
+    max_attempts = 1 + (cfg.gan_restarts if cfg.freeze_on_white > 0 else 0)
+    for attempt in range(max_attempts):
+        if attempt:
+            print(f"schedule ended unconverged — random restart {attempt}")
+            gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 1000 + attempt),
+                                 G, D, gan_cfg)
+            snapshots.clear()
+            n_cad = 0
+        for i0 in range(0, cfg.gan_iters, chunk):
             key, sub = jax.random.split(key)
-            wf, samples = draw_posterior(list(snapshots) or [gan_state], sub)
-            # cloud diagnostics vs the exact grid: bias (mean offset in
-            # exact-σ units) and dispersion ratio per parameter — these
-            # separate "biased cloud" from "collapsed/over-dispersed cloud"
-            # failure modes at a glance
-            gm = gp.grid_moments(np.asarray(L), gx, gy)
-            _wf2d = np.asarray(wf).reshape(np.asarray(wf).shape[0], -1)
-            diag = {
-                "bias_t0": (float(samples[:, 0].mean()) - gm[0]) / max(gm[2], 1e-12),
-                "bias_tau": (float(samples[:, 1].mean()) - gm[1]) / max(gm[3], 1e-12),
-                "disp_t0": float(samples[:, 0].std()) / max(gm[2], 1e-12),
-                "disp_tau": float(samples[:, 1].std()) / max(gm[3], 1e-12),
-                "wf_corr": float(np.mean(
-                    np.sum(_wf2d * np.asarray(signal)[None, :], axis=1)
-                    / (np.linalg.norm(_wf2d, axis=1)
-                       * np.linalg.norm(np.asarray(signal)) + 1e-30))),
-            }
-            # degenerate-output guard (ref: bbhMahoGANy.py:1354-1355)
-            if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
-                score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
-                diag["grid_overlap"] = score
-                print(f"grid overlap: {score:.4f}  "
-                      f"bias: ({diag['bias_t0']:+.2f}, {diag['bias_tau']:+.2f})σ  "
-                      f"disp: ({diag['disp_t0']:.2f}, {diag['disp_tau']:.2f})×  "
-                      f"wf_corr: {diag['wf_corr']:.4f}")
-                if score > best_score:
-                    best_score, best_state = score, gan_state
-            if cfg.freeze_on_white > 0 and frozen_at is None:
-                from gennet_tpu.eval.whiteness import whiteness_score
+            knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
+            gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
+            if chunk > 1:
+                m = {k: v[-1] for k, v in m.items()}
+            i = i0 + chunk if chunk > 1 else i0
+            if i % cfg.cadence == 0 and i > 0:
+                log.log(i, m)
+                print(log.status_line(i, m, log.steps_per_sec(i)))
+                n_cad += 1
+                if n_cad % max(1, cfg.snapshot_every) == 0:
+                    snapshots.append(gan_state)
+                if n_cad % max(1, cfg.eval_every) != 0:
+                    continue
+                key, sub = jax.random.split(key)
+                wf, samples = draw_posterior(list(snapshots) or [gan_state], sub)
+                # cloud diagnostics vs the exact grid: bias (mean offset in
+                # exact-σ units) and dispersion ratio per parameter — these
+                # separate "biased cloud" from "collapsed/over-dispersed cloud"
+                # failure modes at a glance
+                gm = gp.grid_moments(np.asarray(L), gx, gy)
+                _wf2d = np.asarray(wf).reshape(np.asarray(wf).shape[0], -1)
+                diag = {
+                    "bias_t0": (float(samples[:, 0].mean()) - gm[0]) / max(gm[2], 1e-12),
+                    "bias_tau": (float(samples[:, 1].mean()) - gm[1]) / max(gm[3], 1e-12),
+                    "disp_t0": float(samples[:, 0].std()) / max(gm[2], 1e-12),
+                    "disp_tau": float(samples[:, 1].std()) / max(gm[3], 1e-12),
+                    "wf_corr": float(np.mean(
+                        np.sum(_wf2d * np.asarray(signal)[None, :], axis=1)
+                        / (np.linalg.norm(_wf2d, axis=1)
+                           * np.linalg.norm(np.asarray(signal)) + 1e-30))),
+                }
+                # degenerate-output guard (ref: bbhMahoGANy.py:1354-1355)
+                if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
+                    score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
+                    diag["grid_overlap"] = score
+                    print(f"grid overlap: {score:.4f}  "
+                          f"bias: ({diag['bias_t0']:+.2f}, {diag['bias_tau']:+.2f})σ  "
+                          f"disp: ({diag['disp_t0']:.2f}, {diag['disp_tau']:.2f})×  "
+                          f"wf_corr: {diag['wf_corr']:.4f}")
+                    if score > best_score:
+                        best_score, best_state = score, gan_state
+                if cfg.freeze_on_white > 0 and frozen_at is None:
+                    from gennet_tpu.eval.whiteness import whiteness_score
 
-                resid = (np.asarray(measured)[None, :]
-                         - _wf2d[:256]) / cfg.n_sig
-                ws = whiteness_score(resid, 1.0)
-                w = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
-                diag["whiteness"] = w
-                # combined gate: white residual draws AND a converged
-                # residual-moment loss (whiteness alone false-positives on
-                # 256 draws — measured: froze a τ-biased corr-0.79 state)
-                res_ok = (cfg.freeze_on_res <= 0
-                          or 0.0 < float(m["res_loss"]) < cfg.freeze_on_res)
-                if w >= cfg.freeze_on_white and res_ok:
-                    frozen_at = i
-                    log.log(i, diag)
-                    print(f"residuals white ({w:.3f} ≥ {cfg.freeze_on_white},"
-                          f" res_loss {float(m['res_loss']):.2e}) "
-                          f"— training frozen at {i}")
-                    break
-            log.log(i, diag)
-            if cfg.plots:
-                from gennet_tpu.eval import plots as P
+                    resid = (np.asarray(measured)[None, :]
+                             - _wf2d[:256]) / cfg.n_sig
+                    ws = whiteness_score(resid, 1.0)
+                    w = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
+                    diag["whiteness"] = w
+                    # combined gate: white residual draws AND a converged
+                    # residual-moment loss (whiteness alone false-positives on
+                    # 256 draws — measured: froze a τ-biased corr-0.79 state)
+                    res_raw = float(m["res_loss"]) / max(cfg.res_loss_weight, 1e-30)
+                    res_ok = (cfg.freeze_on_res <= 0
+                              or 0.0 < res_raw < cfg.freeze_on_res)
+                    if w >= cfg.freeze_on_white and res_ok:
+                        frozen_at = i
+                        log.log(i, diag)
+                        print(f"residuals white ({w:.3f} ≥ {cfg.freeze_on_white},"
+                              f" raw res_loss {res_raw:.2e}) "
+                              f"— training frozen at {i}")
+                        break
+                log.log(i, diag)
+                if cfg.plots:
+                    from gennet_tpu.eval import plots as P
 
-                P.plot_waveform_est(signal, measured, np.asarray(wf), cfg.out_dir, i)
-                P.plot_pe_samples(samples, truth, cfg.out_dir, i, grid=(L, gx, gy))
-                P.plot_losses(log.arrays(), cfg.out_dir)
+                    P.plot_waveform_est(signal, measured, np.asarray(wf), cfg.out_dir, i)
+                    P.plot_pe_samples(samples, truth, cfg.out_dir, i, grid=(L, gx, gy))
+                    P.plot_losses(log.arrays(), cfg.out_dir)
+        if frozen_at is not None:
+            break
 
     # FINAL-state scoring — the reference uses whatever the last iteration
     # produced (ref: bbhMahoGANy.py:1241); the training recipe must keep the
@@ -843,6 +849,14 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     (same role as the burst workload's analytic grid, SURVEY.md §4 idiom #1)."""
     key = jax.random.PRNGKey(cfg.seed)
     os.makedirs(cfg.out_dir, exist_ok=True)
+    # persist the exact run config so post-hoc tools (e.g.
+    # scripts/bbh_sampler_calibration.py) rebuild the same models/data
+    # instead of assuming defaults
+    import dataclasses
+    import json as _json
+
+    with open(os.path.join(cfg.out_dir, "config.json"), "w") as f:
+        _json.dump(dataclasses.asdict(cfg), f, indent=1)
     log = MetricLogger(cfg.out_dir, "bbh")
 
     bank, targets, signal, measured, norm, psd, truth, lalinf_samples, key = \
@@ -1065,10 +1079,11 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
+        res_raw = float(m["res_loss"]) / max(cfg.res_loss_weight, 1e-30)
         if (cfg.freeze_on_res > 0 and frozen_at is None
-                and 0.0 < float(m["res_loss"]) < cfg.freeze_on_res):
+                and 0.0 < res_raw < cfg.freeze_on_res):
             frozen_at = i0 + chunk
-            print(f"converged (res_loss {float(m['res_loss']):.2e}) — "
+            print(f"converged (raw res_loss {res_raw:.2e}) — "
                   f"training frozen at {frozen_at}")
             break  # frozen knobs make the remaining schedule a no-op
             # (params cannot change; BN stats would only re-estimate the

@@ -124,6 +124,8 @@ class MDCSet:
         for i, inj in enumerate(self.injections):
             gps = int(inj.time)
             gps_ns = int(round((inj.time - gps) * 1e9))
+            if gps_ns >= 1_000_000_000:  # round-up at an integer-second edge
+                gps, gps_ns = gps + 1, gps_ns - 1_000_000_000
             vals = {
                 "process_id": 0, "simulation_id": i, "time_slide_id": 0,
                 "waveform": f'"{inj.waveform}"',

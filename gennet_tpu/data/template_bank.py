@@ -141,20 +141,22 @@ def make_template_batch(key: jax.Array, n: int, psd: jnp.ndarray, cfg: BankConfi
     return t_work, params
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_noise", "time_grid"))
+@partial(jax.jit, static_argnames=("cfg", "n", "n_noise", "time_grid"))
 def make_noisy_template_batch(key: jax.Array, n: int, psd: jnp.ndarray,
                               cfg: BankConfig = BankConfig(), norm_constant: float = 1.0,
                               n_noise: int = 1, time_grid: int = 1):
     """Bank variant with per-template noise realizations and/or a grid of
     merger-time realizations per mass sample.
 
-    Mirrors the reference's ``Nnoise>0`` branch (ref: sim_data,
-    gw_template_maker.py:685-692 — whiten(signal + colored noise); in the
-    whitened domain that is exactly template + N(0,1)) and the
+    Mirrors the reference's ``Nnoise`` semantics (ref: sim_data,
+    gw_template_maker.py:685-692): ``n_noise=0`` is a CLEAN bank (one copy
+    per mass draw, no noise added), ``n_noise>=1`` stacks that many noise
+    realizations — whiten(signal + colored noise), which in the whitened
+    domain is exactly template + N(0,1). ``time_grid`` mirrors the
     ``do_time_grid`` option (ref: :57,702-715 — ``N_time_grid`` random peak
     placements per mass draw).
 
-    Returns (templates [(n·time_grid·n_noise), fs], params).
+    Returns (templates [(n·time_grid·max(n_noise,1)), fs], params).
     """
     k_mass, k_idx, k_noise = jax.random.split(key, 3)
     masses = priors.sample_masses(k_mass, n, mdist=cfg.mdist)
@@ -164,17 +166,18 @@ def make_noisy_template_batch(key: jax.Array, n: int, psd: jnp.ndarray,
     idx = jax.random.randint(k_idx, (n * time_grid,), lo, jnp.maximum(hi, lo + 1))
     clean = _synthesize(m1, m2, idx, psd, cfg) * norm_constant
 
-    reps = jnp.tile(clean, (n_noise, 1))
+    n_rep = max(n_noise, 1)
+    reps = jnp.tile(clean, (n_rep, 1))
     if n_noise >= 1:
         noise = jax.random.normal(k_noise, reps.shape, reps.dtype)
         noisy = reps + noise
     else:
         noisy = reps
     params = {
-        "m1": jnp.tile(m1, (n_noise,)), "m2": jnp.tile(m2, (n_noise,)),
-        "mc": jnp.tile(jnp.repeat(masses["mc"], time_grid), (n_noise,)),
-        "q": jnp.tile(jnp.repeat(masses["m2"] / masses["m1"], time_grid), (n_noise,)),
-        "idx": jnp.tile(idx, (n_noise,)),
+        "m1": jnp.tile(m1, (n_rep,)), "m2": jnp.tile(m2, (n_rep,)),
+        "mc": jnp.tile(jnp.repeat(masses["mc"], time_grid), (n_rep,)),
+        "q": jnp.tile(jnp.repeat(masses["m2"] / masses["m1"], time_grid), (n_rep,)),
+        "idx": jnp.tile(idx, (n_rep,)),
     }
     return noisy, params
 

@@ -44,6 +44,11 @@ class DualBranchPE(nn.Module):
         # mean-abs-err ≈ the prior width. A saturating-but-differentiable
         # head keeps the same (0, 1] range with a gradient everywhere:
         # q = sigmoid(z), pinned outputs recover instead of dying.
+        # CHECKPOINT COMPATIBILITY: the param tree is identical to the old
+        # ReLU-clip head, so pre-sigmoid (r1/early-r2) DualBranchPE
+        # checkpoints restore WITHOUT error but yield mis-calibrated q
+        # (logits trained to hit [0,1] directly get squashed again) —
+        # retrain rather than reuse them.
         q = nn.sigmoid(nn.Dense(1)(q))
 
         return jnp.concatenate([mc, q], axis=-1)

@@ -33,7 +33,21 @@ from gennet_tpu.train.gan import sample_generator
 def main():
     out_dir = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
-    cfg = BBHConfig(out_dir=out_dir)
+    # rebuild from the run's PERSISTED config (run_bbh writes config.json) —
+    # defaults would silently mismatch the param tree / measured event for
+    # runs trained with non-default seed/n_pix/conv_impl/bf16/batch sizes
+    cfg_path = os.path.join(out_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            saved = json.load(f)
+        known = {k: v for k, v in saved.items() if k in BBHConfig.__dataclass_fields__}
+        cfg = BBHConfig(**{**known, "out_dir": out_dir})
+    else:
+        print(f"WARNING: {cfg_path} missing — assuming default BBHConfig; "
+              "calibration numbers are wrong if the run used other settings")
+        cfg = BBHConfig(out_dir=out_dir)
+    if cfg.grid_grain <= 0:
+        sys.exit("run has grid_grain<=0: no exact grid to calibrate against")
 
     # IDENTICAL data/key path to run_bbh so the measured event matches the
     # training run's exactly
@@ -52,12 +66,18 @@ def main():
         grid = (np.asarray(Lg), gmc, gq)
         ref_samples = gp.sample_grid_posterior(Lg, gmc, gq, 3907, seed=cfg.seed)
 
+    import jax.numpy as jnp
+
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size)
-    G, D = BBHGenerator(n_out=cfg.n_pix), PairDiscriminator()
+    dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    G = BBHGenerator(n_out=cfg.n_pix, dtype=dt, conv_impl=cfg.conv_impl)
+    D = PairDiscriminator(dtype=dt, conv_impl=cfg.conv_impl)
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
     gan_state, step = CheckpointManager(os.path.join(out_dir, "ckpt_gan")).restore(gan_state)
     pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.pe_batch_size)
-    pe = DualBranchPE()
+    from gennet_tpu.models import CombinedPE
+
+    pe = CombinedPE() if cfg.comb_pe_model else DualBranchPE()
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe, pe_cfg)
     pe_state, _ = CheckpointManager(os.path.join(out_dir, "ckpt_pe")).restore(pe_state)
     print(f"restored GAN step {step}")

@@ -105,3 +105,25 @@ def test_calibration_offset_shifts_peak(cfg, psd):
     pk0 = np.argmax(np.abs(np.asarray(t0)), axis=1)
     pk1 = np.argmax(np.abs(np.asarray(t1)), axis=1)
     assert np.median(pk0 - pk1) == pytest.approx(11, abs=2)
+
+
+def test_noisy_bank_nnoise_semantics(cfg, psd):
+    # n_noise=0 is a CLEAN bank (ref Nnoise=0, gw_template_maker.py:685-692);
+    # n_noise=1 adds exactly one N(0,1) realization on the same templates
+    clean, p0 = tb.make_noisy_template_batch(
+        jax.random.PRNGKey(3), 4, psd, cfg, n_noise=0)
+    noisy, p1 = tb.make_noisy_template_batch(
+        jax.random.PRNGKey(3), 4, psd, cfg, n_noise=1)
+    assert clean.shape == noisy.shape == (4, cfg.fs)
+    np.testing.assert_array_equal(np.asarray(p0["mc"]), np.asarray(p1["mc"]))
+    resid = np.asarray(noisy) - np.asarray(clean)
+    # residual is unit-variance white noise, and clean really is noise-free
+    assert 0.8 < resid.std() < 1.2
+    base, _ = tb.make_template_batch(jax.random.PRNGKey(3), 4, psd, cfg)
+    # same key => same mass/idx draws => clean bank equals the plain bank
+    np.testing.assert_allclose(np.asarray(clean), np.asarray(base), atol=1e-6)
+    # n_noise=2 stacks two realizations of the same template set
+    two, p2 = tb.make_noisy_template_batch(
+        jax.random.PRNGKey(3), 4, psd, cfg, n_noise=2)
+    assert two.shape == (8, cfg.fs)
+    np.testing.assert_array_equal(np.asarray(p2["mc"][:4]), np.asarray(p2["mc"][4:]))
