@@ -735,6 +735,28 @@ class BBHConfig:
                                         # :617-620) — restores the posterior
                                         # dispersion that latent variation
                                         # alone under-represents
+    posterior_bn_mode: str = "eval"     # 'eval' = BN running averages (the
+                                        # reference's predict); 'batch' = BN
+                                        # batch statistics, the mode the
+                                        # generator was optimized in —
+                                        # measured fix for the +8.8σ
+                                        # eval-mode bias on the r2 state
+                                        # (scripts/bbh_sampler_calibration)
+    g_norm: str = "batch"               # generator normalization: 'batch'
+                                        # (reference), 'group', 'none' —
+                                        # batch-independent choices close the
+                                        # train/eval gap structurally
+                                        # (param trees differ; new runs only)
+    pe_ema_decay: float = 0.999         # EMA of CNN params for every eval
+                                        # (sanity cloud + posterior draws):
+                                        # the r2 sanity bound oscillated
+                                        # 0.02–0.94 across late cadences —
+                                        # the averaged late-state is the
+                                        # stable quality ceiling (0 = off)
+    pe_lr_decay: bool = True            # cosine-decay the CNN LR over
+                                        # pe_iters to 0.1·lr (constant-LR
+                                        # batch-8 SGD never settles; ref
+                                        # trains constant 9e-5, ref :98)
     label_smoothing: bool = True        # GAN stabilization pair (see burst)
     instance_noise: float = 0.3         # TPU-measured optimum for the pair
                                         # scheme: at n_sig(=1.0) the residual
@@ -881,7 +903,10 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     # ---- CNN PE ---------------------------------------------------------
     pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.pe_batch_size, lr=cfg.lr,
-                       noise_frac=cfg.cnn_noise_frac)
+                       noise_frac=cfg.cnn_noise_frac,
+                       ema_decay=cfg.pe_ema_decay,
+                       lr_decay_steps=cfg.pe_iters if cfg.pe_lr_decay else 0)
+    pe_use_ema = cfg.pe_ema_decay > 0
     from gennet_tpu.models import CombinedPE
 
     pe_model = CombinedPE() if cfg.comb_pe_model else DualBranchPE()
@@ -926,7 +951,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             if sanity_waveforms is not None:
                 # CNN(ideal posterior waveforms) should reproduce the source
                 # posterior (ref: bbhMahoGANy.py:1226-1231)
-                sane = np.asarray(cnn_predict(pe_model, pe_state, sanity_waveforms))
+                sane = np.asarray(cnn_predict(pe_model, pe_state, sanity_waveforms,
+                                              use_ema=pe_use_ema))
                 if sane[:, 0].var() > 0 and sane[:, 1].var() > 0:
                     b = ov.beta_overlap(sane, ref_samples)
                     log.log(i, {"cnn_sanity_beta": b})
@@ -935,7 +961,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 from gennet_tpu.eval import plots as P
 
                 idx = np.random.default_rng(i).choice(bank.shape[0], 4000, replace=False)
-                est = np.asarray(cnn_predict(pe_model, pe_state, bank[idx]))
+                est = np.asarray(cnn_predict(pe_model, pe_state, bank[idx],
+                                              use_ema=pe_use_ema))
                 P.plot_pe_accuracy(np.asarray(targets)[idx], est, cfg.out_dir,
                                    f"pe_accuracy{i:05d}.png")
         if i % cfg.ckpt_every == 0 and i > 0:
@@ -945,7 +972,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     # final CNN accuracy: RMS + mean-|err| per parameter on a held-out draw
     # (the reference's rms/pe_std prints, ref: bbhMahoGANy.py:1188-1198)
     idx = np.random.default_rng(0).choice(bank.shape[0], min(4000, bank.shape[0]), replace=False)
-    est = np.asarray(cnn_predict(pe_model, pe_state, bank[idx]))
+    est = np.asarray(cnn_predict(pe_model, pe_state, bank[idx], use_ema=pe_use_ema))
     tgt = np.asarray(targets)[idx]
     pe_rms = [float(np.mean((tgt[:, k] - est[:, k]) ** 2)) for k in range(2)]
     pe_std = [float(np.mean(np.abs(tgt[:, k] - est[:, k]))) for k in range(2)]
@@ -956,7 +983,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     # achievable ceiling (ref: bbhMahoGANy.py:1226-1231)
     sanity_cloud, cnn_sanity_beta = None, None
     if sanity_waveforms is not None:
-        sanity_cloud = np.asarray(cnn_predict(pe_model, pe_state, sanity_waveforms))
+        sanity_cloud = np.asarray(cnn_predict(pe_model, pe_state, sanity_waveforms,
+                                              use_ema=pe_use_ema))
         if sanity_cloud[:, 0].var() > 0 and sanity_cloud[:, 1].var() > 0:
             cnn_sanity_beta = ov.beta_overlap(sanity_cloud, ref_samples)
         else:
@@ -975,7 +1003,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                         res_loss_weight=cfg.res_loss_weight,
                         g_ema_decay=cfg.g_ema_decay)
     dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    G = BBHGenerator(n_out=cfg.n_pix, dtype=dt, conv_impl=cfg.conv_impl)
+    G = BBHGenerator(n_out=cfg.n_pix, dtype=dt, conv_impl=cfg.conv_impl,
+                     norm=cfg.g_norm)
     D = PairDiscriminator(dtype=dt, conv_impl=cfg.conv_impl)
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
     gan_ckpt = CheckpointManager(os.path.join(cfg.out_dir, "ckpt_gan"))
@@ -1009,7 +1038,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             key, sub = jax.random.split(key)
             parts.append(sample_generator(G, snap, sub, per, gan_cfg,
                                           dropout=cfg.posterior_dropout,
-                                          temp=cfg.posterior_temp))
+                                          temp=cfg.posterior_temp,
+                                          bn_mode=cfg.posterior_bn_mode))
         wf = jnp.concatenate(parts, axis=0)
         wf_in = wf
         if cfg.posterior_noise > 0:
@@ -1018,7 +1048,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             key, kn = jax.random.split(key)
             wf_in = wf + cfg.posterior_noise * cfg.n_sig * jax.random.normal(
                 kn, wf.shape, wf.dtype)
-        samples = np.asarray(cnn_predict(pe_model, pe_state, wf_in))
+        samples = np.asarray(cnn_predict(pe_model, pe_state, wf_in,
+                                         use_ema=pe_use_ema))
         return wf, samples
 
     def eval_posterior(states, key, step, tag=None):

@@ -36,15 +36,38 @@ class BBHGenerator(nn.Module):
     conv_impl: str = "xla"              # 'xla' (nn.Conv) or 'pallas'
                                         # (PallasConv1D MXU kernel); param
                                         # trees are identical either way
+    norm: str = "batch"                 # 'batch' (reference, ref :223),
+                                        # 'group', or 'none'. BatchNorm is the
+                                        # measured source of the generator's
+                                        # train/eval mode gap (r2 calibration:
+                                        # eval-mode draws +8.8σ biased because
+                                        # running stats lag the adversarial
+                                        # oscillation); 'group'/'none' are
+                                        # batch-independent so train and eval
+                                        # outputs agree modulo dropout.
+                                        # Param trees DIFFER — new runs only.
+
+    def _norm(self, x, bn: bool):
+        if self.norm == "batch":
+            return nn.BatchNorm(use_running_average=not bn,
+                                momentum=self.bn_momentum, dtype=self.dtype)(x)
+        if self.norm == "group":
+            return nn.GroupNorm(num_groups=None, group_size=16, dtype=self.dtype)(x)
+        return x
 
     @nn.compact
-    def __call__(self, z, train: bool = False):
+    def __call__(self, z, train: bool = False, bn_train: bool | None = None):
+        # bn_train decouples the BN statistics mode from dropout: the
+        # posterior sampler can draw with batch-statistics BN (the mode the
+        # generator was actually optimized in) but dropout OFF — the
+        # measured fix for the +8.8σ eval-mode bias without MC-dropout's
+        # 3.1× over-dispersion (scripts/bbh_sampler_calibration.py).
+        bn = train if bn_train is None else bn_train
         act = activation(self.act)
         half = self.n_out // 2
 
         x = nn.Dense(256 * half, dtype=self.dtype)(z)
-        x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                         dtype=self.dtype)(x)
+        x = self._norm(x, bn)
         x = act(x)
         x = nn.Dropout(self.drate, deterministic=not train)(x)
         x = x.reshape((x.shape[0], half, 256))
@@ -55,8 +78,7 @@ class BBHGenerator(nn.Module):
             x = conv1d_layer(self.conv_impl, feat, self.filt,
                              strides=2 if i == 0 else 1,
                              dtype=self.dtype, name=f"Conv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                             dtype=self.dtype)(x)
+            x = self._norm(x, bn)
             x = act(x)
             x = nn.Dropout(self.drate, deterministic=not train)(x)
 

@@ -39,15 +39,37 @@ class CheckpointManager:
 
     def restore(self, abstract_state: Any, step: int | None = None, extra_abstract: dict | None = None):
         """Restore into the structure of ``abstract_state`` (e.g. a freshly
-        init'd state). Returns (state, extra) or (None, None) if empty."""
+        init'd state). Returns (state, extra) or (None, None) if empty.
+
+        Falls back to a structure-free restore with a top-level field merge
+        when the template has fields the checkpoint predates (e.g. CNNState
+        gained ``ema`` in r3): known fields restore, new fields keep their
+        freshly-initialized values. Inference paths are exact; resuming
+        TRAINING from such a legacy checkpoint is not supported (optimizer
+        state restores as raw dicts) and a warning is printed."""
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return None, None
         payload = {"state": abstract_state}
         if extra_abstract:
             payload["extra"] = extra_abstract
-        out = self._mgr.restore(step, args=ocp.args.StandardRestore(payload))
-        return out["state"], out.get("extra")
+        try:
+            out = self._mgr.restore(step, args=ocp.args.StandardRestore(payload))
+            return out["state"], out.get("extra")
+        except Exception as e:
+            import dataclasses
+
+            raw = self._mgr.restore(step)
+            raw_state = raw.get("state") if isinstance(raw, dict) else None
+            if dataclasses.is_dataclass(abstract_state) and isinstance(raw_state, dict):
+                fields = {f.name for f in dataclasses.fields(abstract_state)}
+                known = {k: v for k, v in raw_state.items() if k in fields}
+                missing = fields - set(raw_state)
+                print(f"checkpoint restore: legacy layout ({e.__class__.__name__}); "
+                      f"merged fields {sorted(known)}; kept fresh: {sorted(missing)}. "
+                      "Inference OK; do not resume training from this state.")
+                return abstract_state.replace(**known), raw.get("extra")
+            raise
 
     def close(self):
         self._mgr.close()

@@ -35,7 +35,30 @@ class CNNConfig:
                                         # reference's global-max convention
                                         # (every sample's scale depends on the
                                         # largest waveform in the batch)
+    ema_decay: float = 0.0              # EMA of CNN params for evaluation
+                                        # (0 = off). The r2 flagship's
+                                        # CNN-sanity bound oscillated
+                                        # 0.02–0.94 across late cadences at
+                                        # batch 8 — evaluating an averaged
+                                        # late-state instead of the last
+                                        # SGD iterate stabilizes the quality
+                                        # ceiling the GAN's β is read against
+    lr_decay_steps: int = 0             # >0: cosine-decay the LR over this
+                                        # many steps to lr·lr_min_frac
+                                        # (the reference trains 500k steps at
+                                        # constant 9e-5, ref :98 — measured
+                                        # to leave the late-time estimate
+                                        # bouncing at the SGD noise floor)
+    lr_min_frac: float = 0.1
     npar: int = 2
+
+
+def _adam(cfg: CNNConfig):
+    if cfg.lr_decay_steps > 0:
+        sched = optax.cosine_decay_schedule(cfg.lr, cfg.lr_decay_steps,
+                                            alpha=cfg.lr_min_frac)
+        return optax.adam(sched, b1=cfg.beta1)
+    return optax.adam(cfg.lr, b1=cfg.beta1)
 
 
 def normalize_max(x: jnp.ndarray, cfg: CNNConfig) -> jnp.ndarray:
@@ -54,6 +77,7 @@ class CNNState(struct.PyTreeNode):
     params: Any
     stats: Any
     opt: Any
+    ema: Any       # EMA of params (mirrors params when ema_decay == 0)
     step: jnp.ndarray
 
 
@@ -65,7 +89,8 @@ def init_cnn(key: jax.Array, model, cfg: CNNConfig) -> CNNState:
     return CNNState(
         params=params,
         stats=stats,
-        opt=optax.adam(cfg.lr, b1=cfg.beta1).init(params),
+        opt=_adam(cfg).init(params),
+        ema=params,
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -118,10 +143,18 @@ def cnn_update(state: CNNState, x: jnp.ndarray, y: jnp.ndarray, k_drop: jax.Arra
     grads = psum(grads)
     # keep replicated batch-norm stats consistent across the mesh
     new_stats = psum(new_stats) if new_stats else new_stats
-    upd, opt = optax.adam(cfg.lr, b1=cfg.beta1).update(grads, state.opt, state.params)
+    upd, opt = _adam(cfg).update(grads, state.opt, state.params)
     params = optax.apply_updates(state.params, upd)
 
-    new_state = CNNState(params=params, stats=new_stats, opt=opt, step=state.step + 1)
+    if cfg.ema_decay > 0.0:
+        d = cfg.ema_decay
+        ema = jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p,
+                                     state.ema, params)
+    else:
+        ema = params
+
+    new_state = CNNState(params=params, stats=new_stats, opt=opt, ema=ema,
+                         step=state.step + 1)
     return new_state, {"pe_loss": psum(loss)}
 
 
@@ -208,11 +241,15 @@ def _predict_fn(model, with_rng: bool, has_stats: bool):
 
 
 def predict(model, state: CNNState, x: jnp.ndarray, key: jax.Array | None = None,
-            chunk: int = 512):
+            chunk: int = 512, use_ema: bool = False):
     """Chunked, jitted inference pass (dropout off except PermaDropout
     models, which require a key). Chunking bounds activation memory for large
-    evaluation sets (the PE nets carry 1024-channel conv activations)."""
+    evaluation sets (the PE nets carry 1024-channel conv activations).
+
+    ``use_ema`` evaluates the EMA-averaged parameters (see
+    CNNConfig.ema_decay) — the stabilized quality-ceiling estimator."""
     fn = _predict_fn(model, key is not None, bool(state.stats))
+    params = state.ema if use_ema else state.params
     x = x[..., None] if x.ndim == 2 else x
     n = x.shape[0]
     pad = (-n) % chunk
@@ -221,6 +258,6 @@ def predict(model, state: CNNState, x: jnp.ndarray, key: jax.Array | None = None
     outs = []
     for i in range(0, x.shape[0], chunk):
         xb = x[i : i + chunk]
-        outs.append(fn(state.params, state.stats, xb, key) if key is not None
-                    else fn(state.params, state.stats, xb))
+        outs.append(fn(params, state.stats, xb, key) if key is not None
+                    else fn(params, state.stats, xb))
     return jnp.concatenate(outs, axis=0)[:n]

@@ -520,14 +520,29 @@ def make_gan_step_scan(generator, discriminator, cfg: GANConfig, n_steps: int,
 _SAMPLE_FN_CACHE: dict = {}
 
 
-def _sample_fn(generator, dropout: bool):
+def _sample_fn(generator, dropout: bool, bn_mode: str = "eval"):
     """Cached jitted chunk sampler — unjitted flax apply dispatches each op
     separately (very slow over a remote device link)."""
-    key_ = (generator, bool(dropout))
+    key_ = (generator, bool(dropout), bn_mode)
     if key_ not in _SAMPLE_FN_CACHE:
 
         def f(params, stats, z, rng):
-            return _apply_g(generator, params, stats, z, rng, train=dropout)[0]
+            variables = ({"params": params, "batch_stats": stats}
+                         if stats else {"params": params})
+            kwargs = {}
+            if bn_mode == "batch":
+                # draw with batch-statistics BN — the mode the generator was
+                # optimized in (running averages lag the adversarial
+                # oscillation; measured +8.8σ eval-mode bias on the r2
+                # flagship state) — while dropout stays as requested
+                kwargs["bn_train"] = True
+            if stats and (dropout or bn_mode == "batch"):
+                out, _ = generator.apply(variables, z, train=dropout,
+                                         rngs={"dropout": rng},
+                                         mutable=["batch_stats"], **kwargs)
+                return out
+            return generator.apply(variables, z, train=dropout,
+                                   rngs={"dropout": rng}, **kwargs)
 
         _SAMPLE_FN_CACHE[key_] = jax.jit(f)
     return _SAMPLE_FN_CACHE[key_]
@@ -535,7 +550,7 @@ def _sample_fn(generator, dropout: bool):
 
 def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GANConfig,
                      chunk: int = 256, dropout: bool = False, use_ema: bool = True,
-                     temp: float = 1.0):
+                     temp: float = 1.0, bn_mode: str = "eval"):
     """Draw n waveform estimates from the trained generator.
 
     ``dropout=False`` is the reference's generator.predict behavior
@@ -545,6 +560,10 @@ def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GA
     dropout as the variational sampler and restores posterior dispersion
     that latent variation alone under-represents.
 
+    ``bn_mode='batch'`` evaluates BatchNorm with the draw batch's own
+    statistics (train-consistent) instead of the lagged running averages;
+    requires a generator whose __call__ accepts ``bn_train`` (BBHGenerator).
+
     ``temp`` scales the latent draw about the range midpoint (temperature):
     >1 widens posterior dispersion, <1 narrows it.
 
@@ -552,7 +571,7 @@ def sample_generator(generator, state: GANState, key: jax.Array, n: int, cfg: GA
     1024-channel activations) never exceed HBM — Keras predict auto-batched;
     here chunks reuse one compiled program of static shape.
     """
-    fn = _sample_fn(generator, dropout)
+    fn = _sample_fn(generator, dropout, bn_mode)
     params = state.g_ema if (use_ema and cfg.g_ema_decay > 0.0) else state.g_params
     center = 0.5 * (cfg.latent_low + cfg.latent_high)
     outs = []

@@ -83,23 +83,25 @@ def main():
     print(f"restored GAN step {step}")
 
     gm = gp.grid_moments(grid[0], grid[1], grid[2])
-    for dropout in (True, False):
-        for pn in (0.0, 0.2, 0.5, 1.0):
-            key, kz, kn = jax.random.split(key, 3)
-            wf = sample_generator(G, gan_state, kz, n, gan_cfg, dropout=dropout)
-            wf_in = wf + pn * cfg.n_sig * jax.random.normal(kn, wf.shape, wf.dtype)
-            s = np.asarray(cnn_predict(pe, pe_state, wf_in))
-            row = {
-                "dropout": dropout, "posterior_noise": pn,
-                "beta": ov.beta_overlap(s, ref_samples) if s[:, 0].var() > 0 else 0.0,
-                "grid_overlap": gp.grid_overlap_score(s, grid[0], grid[1], grid[2]),
-                "bias_mc": (s[:, 0].mean() - gm[0]) / max(gm[2], 1e-12),
-                "disp_mc": s[:, 0].std() / max(gm[2], 1e-12),
-                "disp_q": s[:, 1].std() / max(gm[3], 1e-12),
-            }
-            print(json.dumps({k: (round(float(v), 4)
-                                  if not isinstance(v, (bool, str)) else v)
-                              for k, v in row.items()}), flush=True)
+    for bn_mode in ("eval", "batch"):
+        for dropout in (True, False):
+            for pn in (0.0, 0.2, 0.5, 1.0):
+                key, kz, kn = jax.random.split(key, 3)
+                wf = sample_generator(G, gan_state, kz, n, gan_cfg,
+                                      dropout=dropout, bn_mode=bn_mode)
+                wf_in = wf + pn * cfg.n_sig * jax.random.normal(kn, wf.shape, wf.dtype)
+                s = np.asarray(cnn_predict(pe, pe_state, wf_in))
+                row = {
+                    "bn_mode": bn_mode, "dropout": dropout, "posterior_noise": pn,
+                    "beta": ov.beta_overlap(s, ref_samples) if s[:, 0].var() > 0 else 0.0,
+                    "grid_overlap": gp.grid_overlap_score(s, grid[0], grid[1], grid[2]),
+                    "bias_mc": (s[:, 0].mean() - gm[0]) / max(gm[2], 1e-12),
+                    "disp_mc": s[:, 0].std() / max(gm[2], 1e-12),
+                    "disp_q": s[:, 1].std() / max(gm[3], 1e-12),
+                }
+                print(json.dumps({k: (round(float(v), 4)
+                                      if not isinstance(v, (bool, str)) else v)
+                                  for k, v in row.items()}), flush=True)
 
 
 if __name__ == "__main__":
