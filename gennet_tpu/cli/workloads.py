@@ -782,6 +782,18 @@ class BBHConfig:
                                         # 3-loss scheme, ref: :798-802, and
                                         # is what the terminal anneal polishes
                                         # the generator with)
+    res_eval_mode: bool = True          # residual route on EVAL-mode G
+                                        # output (see GANConfig.res_eval_mode:
+                                        # constrains the mode the posterior
+                                        # sampler actually draws from — r2's
+                                        # eval draws were +8.8σ biased
+                                        # because only train mode ever saw a
+                                        # loss). Needs res_loss_weight > 0.
+    posterior_drate: float = -1.0       # if ≥0: posterior draws through a G
+                                        # clone with THIS dropout rate
+                                        # (dispersion calibrator: full
+                                        # training dropout measured 3.0–3.1×
+                                        # over-dispersed on the r2 state)
     anneal_frac: float = 0.0            # terminal anneal (see burst config);
                                         # needs res_loss_weight > 0 to keep a
                                         # G gradient during the annealed tail
@@ -810,6 +822,10 @@ class BBHConfig:
     seed: int = 0
     plots: bool = True
     resume: bool = False
+    cnn_cache: str | None = None        # shared CNN-PE checkpoint cache for
+                                        # recipe sweeps (the PE phase is
+                                        # GAN-recipe independent); keyed by
+                                        # every PE-affecting config field
     lalinf_dir: str | None = None       # lalinference products (optional)
     bank_file: str | None = None        # pre-built bank npz (optional)
 
@@ -922,11 +938,24 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         )
         sanity_waveforms = tb.make_templates_from_params(m1s, m2s, psd, bank_cfg, norm)
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
-    pe_ckpt = CheckpointManager(os.path.join(cfg.out_dir, "ckpt_pe"))
-    if cfg.resume:
+    if cfg.cnn_cache:
+        # shared across sweep variants; the tag carries every field that
+        # changes what the trained CNN is (incl. the bank via seed/size)
+        tag = (f"s{cfg.seed}_i{cfg.pe_iters}_n{cfg.n_pix}_b{cfg.pe_batch_size}"
+               f"_lr{cfg.lr:g}_nf{cfg.cnn_noise_frac:g}_tn{cfg.training_num}"
+               f"_ema{cfg.pe_ema_decay:g}_lrd{int(cfg.pe_lr_decay)}"
+               f"_cmb{int(cfg.comb_pe_model)}")
+        pe_ckpt = CheckpointManager(os.path.join(cfg.cnn_cache, tag), max_to_keep=1)
         restored, _ = pe_ckpt.restore(pe_state)
         if restored is not None:
             pe_state = restored
+            print("CNN PE restored from cache")
+    else:
+        pe_ckpt = CheckpointManager(os.path.join(cfg.out_dir, "ckpt_pe"))
+        if cfg.resume:
+            restored, _ = pe_ckpt.restore(pe_state)
+            if restored is not None:
+                pe_state = restored
     start = int(pe_state.step)
     pe_chunk = cfg.pe_cadence if (
         cfg.pe_cadence > 1 and cfg.pe_iters % cfg.pe_cadence == 0
@@ -1001,6 +1030,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                         r1_gamma=cfg.r1_gamma,
                         residual_route=cfg.res_loss_weight > 0,
                         res_loss_weight=cfg.res_loss_weight,
+                        res_eval_mode=cfg.res_eval_mode,
                         g_ema_decay=cfg.g_ema_decay)
     dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
     G = BBHGenerator(n_out=cfg.n_pix, dtype=dt, conv_impl=cfg.conv_impl,
@@ -1033,11 +1063,18 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     def draw_posterior(states, key):
         per = cfg.n_posterior if len(states) == 1 else max(cfg.n_posterior // len(states), 256)
+        if cfg.posterior_drate >= 0.0:
+            G_samp = BBHGenerator(n_out=cfg.n_pix, dtype=dt,
+                                  conv_impl=cfg.conv_impl, norm=cfg.g_norm,
+                                  drate=cfg.posterior_drate)
+            samp_dropout = True
+        else:
+            G_samp, samp_dropout = G, cfg.posterior_dropout
         parts = []
         for snap in states:
             key, sub = jax.random.split(key)
-            parts.append(sample_generator(G, snap, sub, per, gan_cfg,
-                                          dropout=cfg.posterior_dropout,
+            parts.append(sample_generator(G_samp, snap, sub, per, gan_cfg,
+                                          dropout=samp_dropout,
                                           temp=cfg.posterior_temp,
                                           bn_mode=cfg.posterior_bn_mode))
         wf = jnp.concatenate(parts, axis=0)

@@ -50,6 +50,18 @@ class GANConfig:
     pair_discriminator: bool = True     # D sees (waveform, residual) pairs
     residual_route: bool = False        # burst 3-loss scheme (ref: :798-802)
     res_loss_weight: float = 1.0        # weight on the residual-moment route
+    res_eval_mode: bool = False         # compute the residual route on the
+                                        # generator's EVAL-mode output
+                                        # (dropout off, BN running averages).
+                                        # Measured (r2 calibration): G's loss
+                                        # is only ever evaluated in train
+                                        # mode, leaving eval mode
+                                        # unconstrained — the r2 flagship's
+                                        # eval draws were +8.8σ biased while
+                                        # its dropout draws were centered.
+                                        # This pins the deterministic output
+                                        # to the event while the adversarial
+                                        # route keeps train-mode diversity.
     label_smoothing: bool = False       # one-sided smoothing (G8 variant,
                                         # ref: 2_model_version subtract_model
                                         # no_weight_code:106-114)
@@ -338,9 +350,11 @@ def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
 
     # ---------------- residual-moment route (burst scheme) --------------
     if cfg.residual_route:
+        res_train = not cfg.res_eval_mode
+
         def res_loss_fn(gp):
             x, new_stats = _apply_g(generator, gp, g_stats, batch.z2,
-                                    batch.kres, train=True)
+                                    batch.kres, train=res_train)
             resid = measured[None, :, None] - x
             return knobs.res_loss_weight * L.residual_moment_loss(resid, cfg.n_sig), new_stats
 

@@ -1,0 +1,100 @@
+"""Flagship (BBH) recipe screens — posterior-quality search on TPU.
+
+Round-3 goal (VERDICT #2): final β ≥ 0.9 × CNN-sanity bound with
+whiteness ≥ 0.9. The r2 500k run ended at β 0.074 / whiteness 0.32 with a
+measured cause: the generator's eval mode was never constrained by any loss
+(+8.8σ biased eval draws; dropout draws centered but 3× over-dispersed).
+Screens compare the diagnosed fixes at short schedules before committing a
+full run. Results append to out/bbh_sweeps/results.jsonl.
+
+Usage: python scripts/bbh_sweep.py VARIANT [SEED] [GAN_ITERS]
+       python scripts/bbh_sweep.py --queue "v1,v2:0:50000,..."
+"""
+
+import json
+import os
+import sys
+import time
+from dataclasses import replace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gennet_tpu.cli.workloads import BBHConfig, run_bbh
+
+BASE = BBHConfig(plots=False, pe_iters=60_000, gan_iters=50_000,
+                 eval_cadence=2500, pe_cadence=5000, ckpt_every=25_000,
+                 cnn_cache="out/bbh_sweeps/cnn_cache",
+                 out_dir="out/bbh_sweeps")
+
+VARIANTS = {
+    # the r2 recipe exactly (control): train-mode res route w=1, bootstrap
+    # sampler, unreachable freeze threshold
+    "r2recipe": {"res_loss_weight": 1.0, "res_eval_mode": False,
+                 "posterior_noise": 1.0, "freeze_on_white": 0.99},
+    # r3 diagnosed fixes, one at a time on top of the r2 recipe:
+    # burst-proven residual weight
+    "resw10": {"res_loss_weight": 10.0, "res_eval_mode": False,
+               "posterior_noise": 1.0},
+    # eval-mode res route (constrain the sampled mode)
+    "evalres": {"res_loss_weight": 10.0, "res_eval_mode": True,
+                "posterior_noise": 1.0},
+    # eval-mode res route + plain eval draws (the constrained mode IS the
+    # sampler; dispersion from the latent + bootstrap noise)
+    "evalres_evaldraw": {"res_loss_weight": 10.0, "res_eval_mode": True,
+                         "posterior_dropout": False, "posterior_noise": 1.0},
+    # dispersion-calibrated weak-dropout sampler (training drate 0.2)
+    "evalres_drop05": {"res_loss_weight": 10.0, "res_eval_mode": True,
+                       "posterior_drate": 0.05},
+    "evalres_drop02": {"res_loss_weight": 10.0, "res_eval_mode": True,
+                       "posterior_drate": 0.02},
+    # burst recipe transplanted whole: no instance noise + resw10
+    "noin_evalres": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                     "res_eval_mode": True, "posterior_noise": 1.0},
+    # BN-free generator (structural train/eval consistency)
+    "gnorm_none": {"g_norm": "none", "res_loss_weight": 10.0,
+                   "res_eval_mode": True, "posterior_noise": 1.0},
+    "gnorm_group": {"g_norm": "group", "res_loss_weight": 10.0,
+                    "res_eval_mode": True, "posterior_noise": 1.0},
+    # reachable whiteness freeze (r2 grazed 0.99 at 145k, never crossed)
+    "evalres_freeze": {"res_loss_weight": 10.0, "res_eval_mode": True,
+                       "posterior_noise": 1.0, "freeze_on_white": 0.95},
+}
+
+
+def run_one(name, seed, iters):
+    cfg = replace(BASE, **VARIANTS[name], seed=seed, gan_iters=iters,
+                  out_dir=f"out/bbh_sweeps/{name}_s{seed}")
+    t0 = time.time()
+    out = run_bbh(cfg)
+    row = {
+        "variant": name, "seed": seed, "iters": iters,
+        "beta": out.get("beta"), "beta_sanity": out.get("beta_sanity"),
+        "cnn_sanity_beta": out.get("cnn_sanity_beta"),
+        "grid_overlap": out.get("grid_overlap"),
+        "whiteness": (out.get("whiteness") or {}).get("overall"),
+        "frozen_at": out.get("frozen_at"),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    os.makedirs("out/bbh_sweeps", exist_ok=True)
+    with open("out/bbh_sweeps/results.jsonl", "a") as fh:
+        fh.write(json.dumps(row) + "\n")
+    print("SWEEP RESULT:", json.dumps(row), flush=True)
+
+
+def main():
+    if sys.argv[1] == "--queue":
+        for item in sys.argv[2].split(","):
+            parts = item.split(":")
+            name = parts[0]
+            seed = int(parts[1]) if len(parts) > 1 else 0
+            iters = int(parts[2]) if len(parts) > 2 else BASE.gan_iters
+            run_one(name, seed, iters)
+        return
+    name = sys.argv[1]
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else BASE.gan_iters
+    run_one(name, seed, iters)
+
+
+if __name__ == "__main__":
+    main()
