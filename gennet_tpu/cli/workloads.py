@@ -127,6 +127,19 @@ class BurstSmokeConfig:
                                       # N(0, U(0,5)·n_sig) noise added (ref
                                       # flagship idiom; burst ref trained
                                       # clean, ref burstMahoGANy.py:732-771)
+    pe_debias: int = 0                # >0: rounds of truth-free CNN
+                                      # self-calibration on the posterior
+                                      # cloud (round-trip templates at the
+                                      # estimates through the CNN, subtract
+                                      # the measured mean shift) — targets
+                                      # the measured residual τ-bias of the
+                                      # CNN on G draws (eval/posterior_post)
+    reweight_temper: float = 0.0      # >0: importance-resample the cloud by
+                                      # the residual likelihood of the data
+                                      # given the template at each estimate
+                                      # (temper = exponent; 1 = exact IS).
+                                      # GAN cloud = proposal; scales beyond
+                                      # the 2-D exact grid
     pe_no_norm: bool = True           # drop the reference's batch-max CNN
                                       # input normalization entirely (ref
                                       # burstMahoGANy.py:738). Whitened
@@ -327,6 +340,24 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             wf_in = wf + cfg.posterior_noise * cfg.n_sig * jax.random.normal(
                 kn, wf.shape, wf.dtype)
         samples = np.asarray(cnn_predict(pe_model, pe_state, normalize_max(wf_in, pe_cfg)))
+        if cfg.pe_debias > 0 or cfg.reweight_temper > 0:
+            from gennet_tpu.eval import posterior_post as pp
+
+            synth = lambda s: sine_gaussian(s[:, 0], s[:, 1], N=cfg.n_pix)
+            cnn = lambda w: cnn_predict(pe_model, pe_state,
+                                        normalize_max(w, pe_cfg))
+            if cfg.pe_debias > 0:
+                key, kd = jax.random.split(key)
+                samples = pp.self_calibrate(samples, synth, cnn, kd,
+                                            cfg.n_sig, rounds=cfg.pe_debias)
+            if cfg.reweight_temper > 0:
+                key, kr = jax.random.split(key)
+                ess = pp.effective_sample_size(samples, synth, measured,
+                                               cfg.n_sig, cfg.reweight_temper)
+                samples = pp.likelihood_resample(samples, synth, measured,
+                                                 cfg.n_sig, kr,
+                                                 temper=cfg.reweight_temper)
+                print(f"likelihood resample ESS: {ess:.1f}/{len(samples)}")
         return wf, samples
 
     from gennet_tpu.train.gan import knobs_from_cfg

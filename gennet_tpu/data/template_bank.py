@@ -100,19 +100,26 @@ class BankConfig:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=16)
 def _antenna_projection(cfg: BankConfig):
     """Static per-config scalars: the effective amplitude K and phase offset
     δ of h_det = Fp·h+ + Fc·h× for fixed extrinsics, plus the geocentre time
     delay. h̃_det = K · A e^{−i(Ψ + δ)} since h̃× = h̃+ e^{−iπ/2}·(2c/(1+c²)).
 
-    Evaluated host-side in float64 (constant-folded into the bank program)."""
-    fp, fc = detector.antenna_response(cfg.event_time, cfg.ra, cfg.dec, cfg.psi, cfg.det)
+    Evaluated host-side in float64 (constant-folded into the bank program).
+    Cached on the exact scalar inputs, not the config object, so a future
+    non-hashable config field cannot silently break the cache."""
+    return _antenna_projection_cached(cfg.event_time, cfg.ra, cfg.dec,
+                                      cfg.psi, cfg.det, cfg.iota)
+
+
+@lru_cache(maxsize=16)
+def _antenna_projection_cached(event_time, ra, dec, psi, det, iota):
+    fp, fc = detector.antenna_response(event_time, ra, dec, psi, det)
     tdelay = float(
-        detector.time_delay_from_earth_center(cfg.event_time, cfg.ra, cfg.dec, cfg.det)
+        detector.time_delay_from_earth_center(event_time, ra, dec, det)
     )
     fp, fc = float(fp), float(fc)
-    cosi = np.cos(cfg.iota)
+    cosi = np.cos(iota)
     a_p = 0.5 * (1 + cosi**2) * fp
     a_c = cosi * fc
     K = float(np.hypot(a_p, a_c))

@@ -389,11 +389,15 @@ def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
             # mode-seeking term (Mao et al. 2019): distinct latents must
             # map to distinct waveforms; guards posterior dispersion
             # (weight 0 ⇒ exact no-op gradient; the ratio denominator is
-            # bounded below by 1e-5 so the term never produces NaN)
+            # bounded below by 1e-5 so the term never produces NaN).
+            # Needs ≥2 samples per device — at B=1 the half-batch split is
+            # empty and mean-of-empty is NaN even at weight 0 (B is static,
+            # so this is a compile-time gate).
             h = B // 2
-            num = jnp.mean(jnp.abs(xf[:h] - xf[h : 2 * h]))
-            den = jnp.mean(jnp.abs(z3[:h] - z3[h : 2 * h])) + 1e-8
-            loss = loss + knobs.diversity_weight / (num / den + 1e-5)
+            if h >= 1:
+                num = jnp.mean(jnp.abs(xf[:h] - xf[h : 2 * h]))
+                den = jnp.mean(jnp.abs(z3[:h] - z3[h : 2 * h])) + 1e-8
+                loss = loss + knobs.diversity_weight / (num / den + 1e-5)
             acc = L.binary_accuracy(logits, 1.0)
             return loss, (acc, new_stats)
 

@@ -152,6 +152,13 @@ VARIANTS = {
                   "pe_noise_frac": 0.5, "pe_iters": 60000,
                   "pe_no_norm": True, "n_posterior": 4000,
                   "freeze_on_res": 2e-4},
+    # r3: truth-free estimator post-processing (VERDICT #4 — the residual
+    # τ-bias of the CNN on G draws is the measured remaining gap)
+    "debias": {"pe_debias": 1},
+    "debias2": {"pe_debias": 2},
+    "reweight": {"reweight_temper": 1.0},
+    "reweight05": {"reweight_temper": 0.5},
+    "debias_reweight": {"pe_debias": 1, "reweight_temper": 1.0},
     # latent temperature on posterior draws
     "temp15": {"posterior_temp": 1.5},
     # R1 gradient penalty on D (smooth decision surface, anti-saturation)
