@@ -58,6 +58,15 @@ VARIANTS = {
     # reachable whiteness freeze (r2 grazed 0.99 at 145k, never crossed)
     "evalres_freeze": {"res_loss_weight": 10.0, "res_eval_mode": True,
                        "posterior_noise": 1.0, "freeze_on_white": 0.95},
+    # CNN-ceiling screens (VERDICT #3: the sanity bound itself must be
+    # stable and >0.9): batch 8 starves the MXU AND leaves SGD noisy;
+    # larger PE batches + longer EMA horizons. Run with tiny gan_iters —
+    # only the PE phase and its cnn_sanity_beta history matter.
+    "pe_b64": {"pe_batch_size": 64},
+    "pe_b256": {"pe_batch_size": 256},
+    "pe_b64_ema4": {"pe_batch_size": 64, "pe_ema_decay": 0.9999},
+    "pe_b256_ema4": {"pe_batch_size": 256, "pe_ema_decay": 0.9999},
+    "pe_b256_lr4": {"pe_batch_size": 256, "lr": 3.6e-4},
 }
 
 
