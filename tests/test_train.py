@@ -494,3 +494,27 @@ def test_res_eval_mode_constrains_eval_output():
     after = eval_rms(state)
     assert jnp.isfinite(m["res_loss"]).all()
     assert after < 0.5 * before, (before, after)
+
+
+def test_bbh_gan_step_bf16_compute_path():
+    """The bf16 flag threads compute dtype into G/D (params stay f32);
+    one step must run finite and actually update parameters."""
+    from gennet_tpu.models import BBHGenerator, PairDiscriminator
+    from gennet_tpu.train.gan import make_gan_step
+
+    n_pix = 128
+    cfg = GANConfig(n_pix=n_pix, batch_size=4, pair_discriminator=True)
+    G = BBHGenerator(n_out=n_pix, features=(16, 16, 16, 16, 16),
+                     dtype=jnp.bfloat16)
+    D = PairDiscriminator(features=(8, 8), dtype=jnp.bfloat16)
+    state = init_gan(jax.random.PRNGKey(0), G, D, cfg)
+    leaves = jax.tree_util.tree_leaves(state.g_params)
+    assert all(l.dtype == jnp.float32 for l in leaves)  # params stay f32
+    bank = jax.random.normal(jax.random.PRNGKey(1), (16, n_pix))
+    measured = jax.random.normal(jax.random.PRNGKey(2), (n_pix,))
+    step = make_gan_step(G, D, cfg)
+    new_state, m = step(state, bank, measured, jax.random.PRNGKey(3))
+    assert all(bool(jnp.isfinite(v)) for v in m.values())
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.g_params, new_state.g_params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0.0
