@@ -828,10 +828,12 @@ class BBHConfig:
     anneal_frac: float = 0.0            # terminal anneal (see burst config);
                                         # needs res_loss_weight > 0 to keep a
                                         # G gradient during the annealed tail
-    freeze_on_res: float = 0.0          # truth-free early stop (see burst
-                                        # config): freeze all training once
-                                        # res_loss < threshold (requires
-                                        # res_loss_weight > 0)
+    freeze_on_res: float = 0.0          # UNWEIGHTED res-loss component of
+                                        # the combined early-stop gate (see
+                                        # burst config: freeze when draws
+                                        # are white AND res_raw < this;
+                                        # ≤0 disables the res component;
+                                        # requires res_loss_weight > 0)
     freeze_on_white: float = 0.0        # truth-free early stop on the eval-
                                         # cadence residual-whiteness score
                                         # (see burst config; morphology-
@@ -1179,14 +1181,6 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
         res_raw = float(m["res_loss"]) / max(cfg.res_loss_weight, 1e-30)
-        if (cfg.freeze_on_res > 0 and frozen_at is None
-                and 0.0 < res_raw < cfg.freeze_on_res):
-            frozen_at = i0 + chunk
-            print(f"converged (raw res_loss {res_raw:.2e}) — "
-                  f"training frozen at {frozen_at}")
-            break  # frozen knobs make the remaining schedule a no-op
-            # (params cannot change; BN stats would only re-estimate the
-            # same distribution — stopping is exact, not approximate)
         i = i0 + chunk if chunk > 1 else i0
         if i % cfg.cadence == 0 and i > 0:
             # cheap jitted metrics: ALWAYS logged, full-run observability
@@ -1199,11 +1193,18 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             ev = eval_posterior(list(snapshots), sub, i)
             if ev["whiteness"] > best_white:
                 best_white, best_state = ev["whiteness"], gan_state
+            # combined gate, as measured on the burst campaign (commit
+            # c6ca0b5): whiteness alone false-positives on 256 draws, the
+            # res loss alone on moment-matched wrong morphology — require
+            # both (freeze_on_res ≤ 0 disables the res component)
+            res_ok = (cfg.freeze_on_res <= 0
+                      or 0.0 < res_raw < cfg.freeze_on_res)
             if (cfg.freeze_on_white > 0 and frozen_at is None
-                    and ev["whiteness"] >= cfg.freeze_on_white):
+                    and ev["whiteness"] >= cfg.freeze_on_white and res_ok):
                 frozen_at = i
                 print(f"residuals white ({ev['whiteness']:.3f} ≥ "
-                      f"{cfg.freeze_on_white}) — training frozen at {i}")
+                      f"{cfg.freeze_on_white}, raw res_loss {res_raw:.2e}) "
+                      f"— training frozen at {i}")
                 gan_ckpt.save(i, gan_state)
                 break
             if ev["beta"] is not None:
