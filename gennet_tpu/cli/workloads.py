@@ -846,6 +846,14 @@ class BBHConfig:
                                         # bootstrap; see burst config)
     n_snapshots: int = 1                # posterior pooled over k recent
                                         # eval-cadence states (1 = reference)
+    pe_debias: int = 0                  # rounds of truth-free CNN
+                                        # self-calibration on the cloud
+                                        # (eval/posterior_post.py)
+    reweight_temper: float = 0.0        # >0: residual-likelihood importance
+                                        # resampling of the cloud (templates
+                                        # at the (mc,q) estimates vs the
+                                        # measured series; GAN cloud =
+                                        # proposal; ESS logged)
     grid_grain: int = 95                # exact-grid posterior resolution for
                                         # the synthetic event (0 = disable)
     n_sig: float = 1.0
@@ -1120,6 +1128,29 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 kn, wf.shape, wf.dtype)
         samples = np.asarray(cnn_predict(pe_model, pe_state, wf_in,
                                          use_ema=pe_use_ema))
+        if cfg.pe_debias > 0 or cfg.reweight_temper > 0:
+            from gennet_tpu.eval import posterior_post as pp
+
+            def synth(sm):
+                sm = jnp.asarray(sm)
+                mc = jnp.clip(sm[:, 0], 1.0, None)
+                q = jnp.clip(sm[:, 1], 0.05, 1.0)
+                m1s, m2s = priors.mc_q_to_m1m2(mc, q)
+                return tb.make_templates_from_params(m1s, m2s, psd, bank_cfg, norm)
+
+            cnn = lambda w: cnn_predict(pe_model, pe_state, w, use_ema=pe_use_ema)
+            if cfg.pe_debias > 0:
+                key, kd = jax.random.split(key)
+                samples = pp.self_calibrate(samples, synth, cnn, kd,
+                                            cfg.n_sig, rounds=cfg.pe_debias)
+            if cfg.reweight_temper > 0:
+                key, kr = jax.random.split(key)
+                ess = pp.effective_sample_size(samples, synth, measured,
+                                               cfg.n_sig, cfg.reweight_temper)
+                samples = pp.likelihood_resample(samples, synth, measured,
+                                                 cfg.n_sig, kr,
+                                                 temper=cfg.reweight_temper)
+                print(f"likelihood resample ESS: {ess:.1f}/{len(samples)}")
         return wf, samples
 
     def eval_posterior(states, key, step, tag=None):

@@ -58,6 +58,11 @@ VARIANTS = {
     # reachable whiteness freeze (r2 grazed 0.99 at 145k, never crossed)
     "evalres_freeze": {"res_loss_weight": 10.0, "res_eval_mode": True,
                        "posterior_noise": 1.0, "freeze_on_white": 0.95},
+    # truth-free estimator post-processing on the flagship cloud
+    "evalres_rw": {"res_loss_weight": 10.0, "res_eval_mode": True,
+                   "posterior_noise": 1.0, "reweight_temper": 1.0},
+    "evalres_debias": {"res_loss_weight": 10.0, "res_eval_mode": True,
+                       "posterior_noise": 1.0, "pe_debias": 1},
     # CNN-ceiling screens (VERDICT #3: the sanity bound itself must be
     # stable and >0.9): batch 8 starves the MXU AND leaves SGD noisy;
     # larger PE batches + longer EMA horizons. Run with tiny gan_iters —
