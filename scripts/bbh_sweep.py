@@ -58,6 +58,11 @@ VARIANTS = {
     # reachable whiteness freeze (r2 grazed 0.99 at 145k, never crossed)
     "evalres_freeze": {"res_loss_weight": 10.0, "res_eval_mode": True,
                        "posterior_noise": 1.0, "freeze_on_white": 0.95},
+    # train-mode res w10 + reachable combined gate (queue-1 showed the
+    # EVAL-mode route collapses the BN generator; this keeps the burst
+    # recipe's weight on the train-mode route and adds the early stop)
+    "resw10_freeze": {"res_loss_weight": 10.0, "res_eval_mode": False,
+                      "posterior_noise": 1.0, "freeze_on_white": 0.95},
     # truth-free estimator post-processing on the flagship cloud
     "evalres_rw": {"res_loss_weight": 10.0, "res_eval_mode": True,
                    "posterior_noise": 1.0, "reweight_temper": 1.0},
