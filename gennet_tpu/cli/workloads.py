@@ -134,6 +134,17 @@ class BurstSmokeConfig:
                                       # the measured mean shift) — targets
                                       # the measured residual τ-bias of the
                                       # CNN on G draws (eval/posterior_post)
+    pe_bootcal: int = 0               # >0: parametric-bootstrap calibration
+                                      # of the cloud — debias + shrink to
+                                      # the estimator's own noise-limited
+                                      # width at the cloud's center
+                                      # (posterior_post.bootstrap_calibrate)
+    pe_mlrc: int = 0                  # >0: translate the cloud onto the
+                                      # maximum-likelihood point (multi-start
+                                      # Adam refinement of ‖d − s(θ)‖²) —
+                                      # the truth-free analogue of the
+                                      # measured oracle debias
+                                      # (posterior_post.ml_recenter)
     reweight_temper: float = 0.0      # >0: importance-resample the cloud by
                                       # the residual likelihood of the data
                                       # given the template at each estimate
@@ -340,7 +351,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             wf_in = wf + cfg.posterior_noise * cfg.n_sig * jax.random.normal(
                 kn, wf.shape, wf.dtype)
         samples = np.asarray(cnn_predict(pe_model, pe_state, normalize_max(wf_in, pe_cfg)))
-        if cfg.pe_debias > 0 or cfg.reweight_temper > 0:
+        if (cfg.pe_debias > 0 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
+                or cfg.reweight_temper > 0):
             from gennet_tpu.eval import posterior_post as pp
 
             synth = lambda s: sine_gaussian(s[:, 0], s[:, 1], N=cfg.n_pix)
@@ -350,6 +362,13 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                 key, kd = jax.random.split(key)
                 samples = pp.self_calibrate(samples, synth, cnn, kd,
                                             cfg.n_sig, rounds=cfg.pe_debias)
+            if cfg.pe_bootcal > 0:
+                key, kb = jax.random.split(key)
+                samples = pp.bootstrap_calibrate(samples, synth, cnn, kb,
+                                                 cfg.n_sig)
+            if cfg.pe_mlrc > 0:
+                key, km = jax.random.split(key)
+                samples = pp.ml_recenter(samples, synth, measured, km)
             if cfg.reweight_temper > 0:
                 key, kr = jax.random.split(key)
                 ess = pp.effective_sample_size(samples, synth, measured,
@@ -849,6 +868,15 @@ class BBHConfig:
     pe_debias: int = 0                  # rounds of truth-free CNN
                                         # self-calibration on the cloud
                                         # (eval/posterior_post.py)
+    pe_bootcal: int = 0                 # >0: parametric-bootstrap cloud
+                                        # calibration (debias + shrink to the
+                                        # estimator's noise-limited width at
+                                        # the cloud center) — targets the
+                                        # measured 3–4.6× over-dispersion of
+                                        # the r2 MC-dropout sampler
+    pe_mlrc: int = 0                    # >0: translate the cloud onto the
+                                        # refined maximum-likelihood (mc, q)
+                                        # point (posterior_post.ml_recenter)
     reweight_temper: float = 0.0        # >0: residual-likelihood importance
                                         # resampling of the cloud (templates
                                         # at the (mc,q) estimates vs the
@@ -1128,7 +1156,9 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 kn, wf.shape, wf.dtype)
         samples = np.asarray(cnn_predict(pe_model, pe_state, wf_in,
                                          use_ema=pe_use_ema))
-        if cfg.pe_debias > 0 or cfg.reweight_temper > 0:
+        samples_raw = samples
+        if (cfg.pe_debias > 0 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
+                or cfg.reweight_temper > 0):
             from gennet_tpu.eval import posterior_post as pp
 
             def synth(sm):
@@ -1143,6 +1173,13 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 key, kd = jax.random.split(key)
                 samples = pp.self_calibrate(samples, synth, cnn, kd,
                                             cfg.n_sig, rounds=cfg.pe_debias)
+            if cfg.pe_bootcal > 0:
+                key, kb = jax.random.split(key)
+                samples = pp.bootstrap_calibrate(samples, synth, cnn, kb,
+                                                 cfg.n_sig)
+            if cfg.pe_mlrc > 0:
+                key, km = jax.random.split(key)
+                samples = pp.ml_recenter(samples, synth, measured, km)
             if cfg.reweight_temper > 0:
                 key, kr = jax.random.split(key)
                 ess = pp.effective_sample_size(samples, synth, measured,
@@ -1151,11 +1188,20 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                                                  cfg.n_sig, kr,
                                                  temper=cfg.reweight_temper)
                 print(f"likelihood resample ESS: {ess:.1f}/{len(samples)}")
-        return wf, samples
+        return wf, samples, samples_raw
 
     def eval_posterior(states, key, step, tag=None):
         """Expensive eval path: posterior draw → CNN → β/grid/whiteness."""
-        wf, samples = draw_posterior(states, key)
+        wf, samples, samples_raw = draw_posterior(states, key)
+        if samples_raw is not samples and ref_samples is not None:
+            # post-processing active: keep the untransformed cloud's score
+            # in the log so the raw-vs-calibrated gap stays measured
+            if samples_raw[:, 0].var() > 0:
+                raw_row = {"beta_raw": ov.beta_overlap(samples_raw, ref_samples)}
+                if grid is not None:
+                    raw_row["grid_overlap_raw"] = gp.grid_overlap_score(
+                        samples_raw, grid[0], grid[1], grid[2])
+                log.log(step, raw_row)
         save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"),
                                 step, samples)
         resid = np.asarray(measured)[None, :] - np.asarray(wf[:256])

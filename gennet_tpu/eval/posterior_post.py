@@ -53,6 +53,99 @@ def self_calibrate(samples: np.ndarray, synth_fn, cnn_fn, key: jax.Array,
     return np.asarray(s)
 
 
+def bootstrap_calibrate(samples: np.ndarray, synth_fn, cnn_fn, key: jax.Array,
+                        n_sig: float, shrink: bool = True) -> np.ndarray:
+    """Debias AND dispersion-match a cloud to its parametric bootstrap.
+
+    The bootstrap cloud r = cnn(s(θ̄) + noise_i) — the estimator's own
+    sampling distribution if the cloud's center θ̄ were the truth — is the
+    same construction as the CNN-sanity ceiling (ref idiom:
+    bbhMahoGANy.py:1226-1231), made truth-free by anchoring at the cloud's
+    location instead of the true parameters. Two measured corrections:
+
+    - bias: δ = mean(r) − θ̄ is the estimator's bias at this location;
+      subtract it from every sample (same shift :func:`self_calibrate`
+      measures, at the center instead of per-sample).
+    - width: the noise-limited posterior width through this estimator IS
+      std(r); when the observed cloud is wider (measured r2 failure mode:
+      MC-dropout draws centered but 3–4.6× over-dispersed), shrink it about
+      its mean by the per-parameter ratio. Only shrink — an under-dispersed
+      cloud is the upstream sampler's job (``posterior_noise`` bootstrap).
+    """
+    y = jnp.asarray(samples)
+    center = jnp.mean(y, axis=0)
+    wf = synth_fn(center[None, :])
+    wf = jnp.broadcast_to(wf, (y.shape[0],) + wf.shape[1:])
+    wf = wf + n_sig * jax.random.normal(key, wf.shape, wf.dtype)
+    r = jnp.asarray(cnn_fn(wf))
+    delta = jnp.mean(r, axis=0) - center
+    ratio = jnp.std(y, axis=0) / jnp.maximum(jnp.std(r, axis=0), 1e-12)
+    scale = 1.0 / jnp.maximum(ratio, 1.0) if shrink else 1.0
+    out = (center - delta)[None, :] + (y - center[None, :]) * scale
+    return np.asarray(out)
+
+
+def ml_recenter(samples: np.ndarray, synth_fn, measured, key: jax.Array,
+                steps: int = 300, n_starts: int = 8,
+                lr: float = 0.1) -> np.ndarray:
+    """Shift a cloud so its center sits at the maximum-likelihood point.
+
+    The burst seed-1 diagnosis (scripts/burst_debias_diag.py) measured the
+    failure the round-trip routes cannot see: the CNN's bias lives on
+    OFF-manifold G draws, so round-tripping clean templates through it
+    (:func:`self_calibrate` / :func:`bootstrap_calibrate`) measures ~zero
+    shift, and :func:`likelihood_resample` delta-collapses when no draw
+    lands in the (ultra-sharp) posterior's support. This route instead
+    anchors the cloud to the forward model directly: refine
+    θ* = argmin ‖d − s(θ)‖² with Adam from the ``n_starts``
+    best-likelihood draws (multi-start guards against oscillatory local
+    maxima in carrier-phase parameters like the sine-Gaussian t0), then
+    translate the whole cloud so its mean is θ*. Dispersion is untouched —
+    in a likelihood-dominated (high-SNR) posterior θ* ≈ the truth, so this
+    is the truth-free version of the measured oracle debias (0.88 on the
+    seed-1 reconstruction).
+
+    Optimization is scale-free: θ = θ0 + z·σ_cloud with Adam in z-units,
+    so one ``lr`` serves parameters of any scale (t0 ~s, τ ~ms, mc ~30).
+    """
+    import optax
+
+    s = jnp.asarray(samples)
+    d = jnp.asarray(measured)[None, :]
+    wf = synth_fn(s)
+    logl = -0.5 * jnp.sum((d - wf) ** 2, axis=1)
+    k = min(n_starts, s.shape[0])
+    sig = jnp.maximum(jnp.std(s, axis=0), 1e-12)
+    # half the starts are the best-likelihood draws; the other half are
+    # 2σ-jittered around the center so basins the (possibly clustered)
+    # draws miss still get a start
+    center0 = jnp.mean(s, axis=0)
+    jit = center0[None, :] + 2.0 * sig[None, :] * jax.random.normal(
+        key, (max(k // 2, 1), s.shape[1]), s.dtype)
+    starts = jnp.concatenate([s[jnp.argsort(-logl)[: k - jit.shape[0]]], jit])
+
+    def loss(z):
+        # per-start residual power; sum is fine — starts are independent
+        return jnp.sum((d - synth_fn(starts + z * sig[None, :])) ** 2)
+
+    opt = optax.adam(lr)
+    state0 = opt.init(jnp.zeros_like(starts))
+
+    def step(carry, _):
+        z, ostate = carry
+        g = jax.grad(loss)(z)
+        upd, ostate = opt.update(g, ostate)
+        return (optax.apply_updates(z, upd), ostate), None
+
+    (z, _), _ = jax.lax.scan(step, (jnp.zeros_like(starts), state0),
+                             None, length=steps)
+    theta = starts + z * sig[None, :]
+    final = jnp.sum((d - synth_fn(theta)) ** 2, axis=1)
+    best = theta[jnp.argmin(final)]
+    out = s + (best - jnp.mean(s, axis=0))[None, :]
+    return np.asarray(out)
+
+
 def likelihood_resample(samples: np.ndarray, synth_fn, measured,
                         n_sig: float, key: jax.Array,
                         temper: float = 1.0) -> np.ndarray:

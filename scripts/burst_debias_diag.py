@@ -66,3 +66,24 @@ for bt in (0.0, 2.5e-4, 5e-4, 1e-3, 2e-3):
     for btau in (0.0, 1.0):
         cloud = np.stack([mx + bt + base_t0, my + btau*sy + base_tau], -1)
         print(f"  t0+{bt:g}s tau+{btau:g}sig: {gp.grid_overlap_score(cloud, L, gx, gy):.3f}")
+
+# ml_recenter on the seed-1 reconstruction: the truth-free analogue of the
+# oracle debias — expect ~the oracle number (0.88) if the refined ML point
+# lands on the exact posterior's node
+from gennet_tpu.eval import posterior_post as pp
+key = jax.random.PRNGKey(1)
+k_bank, k_event, k_noise, key = jax.random.split(key, 4)
+signal = sine_gaussian(0.5, 1.0/25.0, N=512)
+measured = signal + 0.25 * jax.random.normal(k_noise, signal.shape)
+L, gx, gy = gp.burst_grid_posterior(measured, 0.25, 95)
+mx, my, sx, sy = gp.grid_moments(L, gx, gy)
+rng = np.random.default_rng(0)
+b_t0, b_tau, d_t0, d_tau = -1093.28, -4.30, 1829.88, 0.5656
+cloud = np.stack([mx + b_t0*sx + rng.normal(0, d_t0*sx, 1000),
+                  my + b_tau*sy + rng.normal(0, abs(d_tau)*sy, 1000)], -1)
+synth = lambda s: sine_gaussian(s[:, 0], s[:, 1], N=512)
+fixed = pp.ml_recenter(cloud, synth, measured, jax.random.PRNGKey(9))
+print(f"ml_recenter overlap: {gp.grid_overlap_score(fixed, L, gx, gy):.4f} "
+      f"(raw {gp.grid_overlap_score(cloud, L, gx, gy):.4f}; oracle 0.88)")
+print(f"  center shift: {np.asarray(fixed.mean(0) - cloud.mean(0))} "
+      f"vs needed {np.array([-b_t0*sx, -b_tau*sy])}")

@@ -156,6 +156,17 @@ VARIANTS = {
     # τ-bias of the CNN on G draws is the measured remaining gap)
     "debias": {"pe_debias": 1},
     "debias2": {"pe_debias": 2},
+    # parametric-bootstrap calibration (debias at the cloud center + shrink
+    # to the estimator's noise-limited width) — the oracle-debias diagnosis
+    # (scripts/burst_debias_diag.py) showed removing the mean shift alone
+    # recovers 0.88 on the seed-1 reconstruction
+    "bootcal": {"pe_bootcal": 1},
+    "debias_bootcal": {"pe_debias": 1, "pe_bootcal": 1},
+    # ML recentering: translate the cloud onto the refined max-likelihood
+    # point — the truth-free analogue of the oracle debias (0.88 on the
+    # seed-1 reconstruction); round-trip routes measure ~zero shift because
+    # the CNN bias lives on off-manifold G draws
+    "mlrc": {"pe_mlrc": 1},
     "reweight": {"reweight_temper": 1.0},
     "reweight05": {"reweight_temper": 0.5},
     "debias_reweight": {"pe_debias": 1, "reweight_temper": 1.0},

@@ -44,6 +44,69 @@ def test_self_calibrate_removes_constant_bias():
     assert (err_after < 0.5 * err_before).all(), (err_before, err_after)
 
 
+def test_bootstrap_calibrate_fixes_bias_and_overdispersion():
+    # r2 flagship failure mode in miniature: a cloud centered near the truth
+    # but 4x wider than the estimator's noise-limited width, plus a constant
+    # estimator bias. bootstrap_calibrate must remove the bias and shrink the
+    # cloud to the width of the estimator's own bootstrap distribution.
+    truth = np.array([0.125, 0.03])
+    n_sig = 0.02
+    est = moment_estimator([0.004, -0.003])
+    # noise-limited width of this estimator at the truth:
+    key = jax.random.PRNGKey(4)
+    wf = np.asarray(SYNTH(jnp.asarray(np.tile(truth, (2000, 1)))))
+    wf = wf + n_sig * np.asarray(jax.random.normal(key, wf.shape))
+    ref_cloud = est(wf)
+    ref_std = ref_cloud.std(axis=0)
+    # observed cloud: biased (estimator bias rides on every draw) and 4x
+    # wide; estimated from noisy inputs exactly like the real pipeline
+    # (posterior_noise bootstrap), so the bias field matches the one the
+    # calibration measures
+    rng = np.random.default_rng(5)
+    wf_obs = np.asarray(SYNTH(jnp.asarray(
+        truth[None, :] + rng.normal(0, 4.0 * ref_std, size=(2000, 2)))))
+    wf_obs = wf_obs + n_sig * rng.standard_normal(wf_obs.shape)
+    cloud = est(wf_obs)
+    fixed = pp.bootstrap_calibrate(cloud, SYNTH, est, jax.random.PRNGKey(6),
+                                   n_sig=n_sig)
+    # bias removed: center lands on the truth within the bootstrap width
+    assert np.all(np.abs(fixed.mean(axis=0) - truth) < 2.0 * ref_std), (
+        fixed.mean(axis=0), truth, ref_std)
+    # dispersion matched to the bootstrap width (was ~4x)
+    ratio = fixed.std(axis=0) / ref_std
+    assert np.all(ratio < 1.8) and np.all(ratio > 0.5), ratio
+    # under-dispersed clouds are left unshrunk (scale clipped at 1)
+    wf_t = np.asarray(SYNTH(jnp.asarray(
+        truth[None, :] + rng.normal(0, 0.1 * ref_std, size=(500, 2)))))
+    tight = est(wf_t)
+    fixed_tight = pp.bootstrap_calibrate(tight, SYNTH, est,
+                                         jax.random.PRNGKey(7), n_sig=n_sig)
+    assert np.all(fixed_tight.std(axis=0) > 0.5 * tight.std(axis=0))
+
+
+def test_ml_recenter_moves_biased_cloud_onto_truth():
+    # burst seed-1 failure in miniature: the cloud's dispersion is fine but
+    # its center is shifted off the truth by more than the posterior width
+    # (off-manifold CNN bias), and the shift is invisible to round-trip
+    # calibration. ml_recenter must recover the oracle debias: translate the
+    # cloud so its mean sits at the maximum-likelihood point ≈ truth.
+    truth = np.array([0.125, 0.03])
+    measured = np.asarray(SYNTH(jnp.asarray(truth[None, :]))[0])
+    measured = measured + 0.01 * np.random.default_rng(1).standard_normal(
+        measured.shape).astype(measured.dtype)
+    rng = np.random.default_rng(2)
+    # the measured seed-1 geometry: t0 shifted ~1σ_cloud (within a carrier
+    # node of the truth — some draws land in the right basin), τ shifted
+    # −4σ_cloud (smooth envelope parameter, reachable by gradient)
+    cloud = truth[None, :] + np.array([0.002, -0.004])[None, :] \
+        + rng.normal(0, [0.002, 0.001], size=(512, 2))
+    fixed = pp.ml_recenter(cloud, SYNTH, measured, jax.random.PRNGKey(3))
+    err = np.abs(fixed.mean(axis=0) - truth)
+    assert err[0] < 5e-4 and err[1] < 2e-3, (fixed.mean(axis=0), truth)
+    # dispersion untouched
+    assert np.allclose(fixed.std(axis=0), cloud.std(axis=0), rtol=1e-5)
+
+
 def test_likelihood_resample_concentrates_on_truth():
     truth = np.array([0.125, 0.03])
     measured = np.asarray(SYNTH(jnp.asarray(truth[None, :]))[0])
