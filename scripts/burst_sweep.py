@@ -167,6 +167,9 @@ VARIANTS = {
     # seed-1 reconstruction); round-trip routes measure ~zero shift because
     # the CNN bias lives on off-manifold G draws
     "mlrc": {"pe_mlrc": 1},
+    # bootcal shrinks the over-dispersed axes about the (still biased)
+    # center, then mlrc fixes the center — the two measured error terms
+    "mlrc_bootcal": {"pe_mlrc": 1, "pe_bootcal": 1},
     "reweight": {"reweight_temper": 1.0},
     "reweight05": {"reweight_temper": 0.5},
     "debias_reweight": {"pe_debias": 1, "reweight_temper": 1.0},
