@@ -41,6 +41,39 @@ def _phasor_kernel(a_ref, p_ref, c_ref, s_ref, o_ref):
         o_ref[:] += acc
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _phasor_matmul_prim(amp, phase, cos_t, sin_t, bm, bk, bt, interpret):
+    """Differentiable wrapper: pallas_call has no autodiff rules, but this
+    op is linear in (amp·cosΨ, amp·sinΨ), so the VJP is closed-form —
+    needed e.g. by posterior ML recentering, which runs jax.grad through
+    the whole template synthesis (eval/posterior_post.ml_recenter)."""
+    return _phasor_pallas(amp, phase, cos_t, sin_t, bm, bk, bt, interpret)
+
+
+def _phasor_fwd(amp, phase, cos_t, sin_t, bm, bk, bt, interpret):
+    out = _phasor_pallas(amp, phase, cos_t, sin_t, bm, bk, bt, interpret)
+    return out, (amp, phase, cos_t, sin_t)
+
+
+def _phasor_bwd(bm, bk, bt, interpret, res, g):
+    # out[b,t] = Σ_k amp cosφ C[k,t] + amp sinφ S[k,t]
+    #   ∂/∂amp = cosφ·(g Cᵀ) + sinφ·(g Sᵀ)
+    #   ∂/∂φ   = amp·(cosφ·(g Sᵀ) − sinφ·(g Cᵀ))
+    # Plain XLA matmuls: the backward pass is off the bank hot path, and
+    # the (B, K) intermediates it materializes are exactly what the forward
+    # kernel exists to avoid — acceptable where gradients are needed.
+    amp, phase, cos_t, sin_t = res
+    gc = g @ cos_t.T
+    gs = g @ sin_t.T
+    d_amp = jnp.cos(phase) * gc + jnp.sin(phase) * gs
+    d_phase = amp * (jnp.cos(phase) * gs - jnp.sin(phase) * gc)
+    return (d_amp.astype(amp.dtype), d_phase.astype(phase.dtype),
+            jnp.zeros_like(cos_t), jnp.zeros_like(sin_t))
+
+
+_phasor_matmul_prim.defvjp(_phasor_fwd, _phasor_bwd)
+
+
 @partial(jax.jit, static_argnames=("bm", "bk", "bt", "interpret"))
 def phasor_matmul(amp: jnp.ndarray, phase: jnp.ndarray, cos_t: jnp.ndarray, sin_t: jnp.ndarray,
                   bm: int = 256, bk: int = 512, bt: int = 1024, interpret: bool = False):
@@ -48,7 +81,12 @@ def phasor_matmul(amp: jnp.ndarray, phase: jnp.ndarray, cos_t: jnp.ndarray, sin_
 
     Shapes: amp/phase (B, K); cos_t/sin_t (K, T); B % bm == K % bk ==
     T % bt == 0 (pad K with zero-amp bins; see module docstring).
+    Differentiable w.r.t. amp/phase via a closed-form VJP.
     """
+    return _phasor_matmul_prim(amp, phase, cos_t, sin_t, bm, bk, bt, interpret)
+
+
+def _phasor_pallas(amp, phase, cos_t, sin_t, bm, bk, bt, interpret):
     B, K = amp.shape
     T = cos_t.shape[1]
     assert B % bm == 0 and K % bk == 0 and T % bt == 0, (B, K, T, bm, bk, bt)

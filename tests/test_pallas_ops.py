@@ -21,6 +21,30 @@ def test_phasor_matmul_matches_dense():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_phasor_matmul_grad_matches_dense():
+    # jax.grad through the kernel (custom VJP) vs grad of the dense formula
+    # — exercised for real by posterior ML recentering, which differentiates
+    # the whole BBH template synthesis (eval/posterior_post.ml_recenter)
+    rng = np.random.default_rng(3)
+    B, K, T = 8, 256, 128
+    amp = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32) ** 2)
+    ph = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(K, T)).astype(np.float32))
+    S = jnp.asarray(rng.normal(size=(K, T)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(B, T)).astype(np.float32))
+
+    loss_k = lambda a, p: jnp.sum(
+        w * phasor_matmul(a, p, C, S, bm=8, bk=128, bt=128, interpret=True))
+    loss_d = lambda a, p: jnp.sum(
+        w * ((a * jnp.cos(p)) @ C + (a * jnp.sin(p)) @ S))
+    ga_k, gp_k = jax.grad(loss_k, argnums=(0, 1))(amp, ph)
+    ga_d, gp_d = jax.grad(loss_d, argnums=(0, 1))(amp, ph)
+    np.testing.assert_allclose(np.asarray(ga_k), np.asarray(ga_d),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gp_k), np.asarray(gp_d),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_phasor_irdft_slice_matches_xla_path():
     rng = np.random.default_rng(1)
     B, N = 8, 1024
