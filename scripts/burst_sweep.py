@@ -170,6 +170,12 @@ VARIANTS = {
     # bootcal shrinks the over-dispersed axes about the (still biased)
     # center, then mlrc fixes the center — the two measured error terms
     "mlrc_bootcal": {"pe_mlrc": 1, "pe_bootcal": 1},
+    # best raw-final recipe (nn_freeze: terminal anneal + 4000 draws +
+    # 60k noise-augmented unnormalized CNN) + the calibration stack
+    "nnf_mlrc": {"instance_noise": 0.0, "res_loss_weight": 10.0,
+                 "pe_noise_frac": 0.5, "pe_iters": 60000,
+                 "pe_no_norm": True, "n_posterior": 4000,
+                 "freeze_on_res": 2e-4, "pe_mlrc": 1, "pe_bootcal": 1},
     "reweight": {"reweight_temper": 1.0},
     "reweight05": {"reweight_temper": 0.5},
     "debias_reweight": {"pe_debias": 1, "reweight_temper": 1.0},
