@@ -1162,9 +1162,13 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             from gennet_tpu.eval import posterior_post as pp
 
             def synth(sm):
+                # clip to the region where the PhenomD fits are sane (the
+                # hunt_constrain prior is mc 20-35, q >= 0.5; far-corner
+                # values like mc~1/q~0.05 NaN the fits, and the ML
+                # refinement's Adam can wander there)
                 sm = jnp.asarray(sm)
-                mc = jnp.clip(sm[:, 0], 1.0, None)
-                q = jnp.clip(sm[:, 1], 0.05, 1.0)
+                mc = jnp.clip(sm[:, 0], 5.0, 60.0)
+                q = jnp.clip(sm[:, 1], 0.2, 1.0)
                 m1s, m2s = priors.mc_q_to_m1m2(mc, q)
                 return tb.make_templates_from_params(m1s, m2s, psd, bank_cfg, norm)
 

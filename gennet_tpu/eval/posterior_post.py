@@ -139,10 +139,20 @@ def ml_recenter(samples: np.ndarray, synth_fn, measured, key: jax.Array,
 
     (z, _), _ = jax.lax.scan(step, (jnp.zeros_like(starts), state0),
                              None, length=steps)
-    theta = starts + z * sig[None, :]
+    # candidate set = refined points ∪ unrefined starts, non-finite losses
+    # masked out: Adam can diverge into parameter regions where the forward
+    # model is NaN (observed live: a NaN refinement once poisoned a whole
+    # eval's cloud) — the unrefined best-likelihood draw is always a finite
+    # fallback, making this transform never-worse than the raw cloud
+    theta = jnp.concatenate([starts + z * sig[None, :], starts])
     final = jnp.sum((d - synth_fn(theta)) ** 2, axis=1)
+    finite_rows = jnp.all(jnp.isfinite(theta), axis=1)
+    final = jnp.where(jnp.isfinite(final) & finite_rows, final, jnp.inf)
     best = theta[jnp.argmin(final)]
-    out = s + (best - jnp.mean(s, axis=0))[None, :]
+    shift = best - jnp.mean(s, axis=0)
+    # no candidate with a finite loss -> the likelihood saw nothing: no shift
+    ok = jnp.isfinite(jnp.min(final)) & jnp.all(jnp.isfinite(shift))
+    out = s + jnp.where(ok, shift, 0.0)[None, :]
     return np.asarray(out)
 
 
@@ -159,6 +169,9 @@ def likelihood_resample(samples: np.ndarray, synth_fn, measured,
     wf = synth_fn(s)
     d = jnp.asarray(measured)[None, :]
     logl = -0.5 * jnp.sum((d - wf) ** 2, axis=1) / (n_sig**2)
+    logl = jnp.where(jnp.isfinite(logl), logl, -jnp.inf)  # NaN draw = weight 0
+    if not bool(jnp.any(jnp.isfinite(logl))):
+        return np.asarray(samples)  # nothing to weight by; leave unchanged
     logw = temper * (logl - jnp.max(logl))
     w = jnp.exp(logw)
     w = w / jnp.sum(w)
@@ -179,6 +192,9 @@ def effective_sample_size(samples: np.ndarray, synth_fn, measured,
     wf = synth_fn(s)
     d = jnp.asarray(measured)[None, :]
     logl = -0.5 * jnp.sum((d - wf) ** 2, axis=1) / (n_sig**2)
+    logl = jnp.where(jnp.isfinite(logl), logl, -jnp.inf)
+    if not bool(jnp.any(jnp.isfinite(logl))):
+        return 0.0
     logw = temper * (logl - jnp.max(logl))
     w = jnp.exp(logw)
     w = w / jnp.sum(w)

@@ -107,6 +107,38 @@ def test_ml_recenter_moves_biased_cloud_onto_truth():
     assert np.allclose(fixed.std(axis=0), cloud.std(axis=0), rtol=1e-5)
 
 
+def test_postproc_routes_survive_nan_forward_model():
+    # observed live on the flagship: Adam refinement wandered into a region
+    # where the waveform model NaNs, and one poisoned refinement shifted the
+    # whole cloud to NaN. Every route must degrade gracefully: finite
+    # output, never worse than doing nothing.
+    truth = np.array([0.125, 0.03])
+    measured = np.asarray(SYNTH(jnp.asarray(truth[None, :]))[0])
+    rng = np.random.default_rng(7)
+    cloud = truth[None, :] + rng.normal(0, [0.002, 0.001], size=(256, 2))
+
+    def nan_synth(s):
+        wf = SYNTH(s)
+        bad = (jnp.abs(s[:, 0] - 0.125) > 0.003) | (s[:, 1] < 0.028)
+        return jnp.where(bad[:, None], jnp.nan, wf)
+
+    fixed = pp.ml_recenter(cloud, nan_synth, measured, jax.random.PRNGKey(8))
+    assert np.isfinite(fixed).all()
+    assert np.abs(fixed.mean(axis=0) - truth)[0] < 2e-3
+
+    res = pp.likelihood_resample(cloud, nan_synth, measured, 0.01,
+                                 jax.random.PRNGKey(9))
+    assert np.isfinite(res).all()
+
+    all_nan = lambda s: jnp.full((s.shape[0], measured.shape[0]), jnp.nan)
+    res2 = pp.likelihood_resample(cloud, all_nan, measured, 0.01,
+                                  jax.random.PRNGKey(10))
+    np.testing.assert_array_equal(res2, cloud)  # unweightable -> unchanged
+    assert pp.effective_sample_size(cloud, all_nan, measured, 0.01) == 0.0
+    fixed2 = pp.ml_recenter(cloud, all_nan, measured, jax.random.PRNGKey(11))
+    np.testing.assert_allclose(fixed2, cloud)  # no finite candidate -> no shift
+
+
 def test_likelihood_resample_concentrates_on_truth():
     truth = np.array([0.125, 0.03])
     measured = np.asarray(SYNTH(jnp.asarray(truth[None, :]))[0])
