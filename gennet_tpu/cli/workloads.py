@@ -208,6 +208,16 @@ class BurstSmokeConfig:
                                       # convention a lottery; this makes it
                                       # deterministic). Knobs are traced, so
                                       # the flip costs no recompile.
+    select_best: str = ""             # "elbo": final posterior comes from the
+                                      # eval-cadence state whose cloud scored
+                                      # the highest ELBO E_q[logL] + H(q)
+                                      # (= −KL(q‖exact posterior) + const,
+                                      # truth-free — posterior_post.elbo_score)
+                                      # instead of the last/frozen state.
+                                      # Measured need: whiteness saturates at
+                                      # 1.0 across late states whose overlaps
+                                      # still range 0.76–0.93. "" = reference
+                                      # last-iteration semantics
     cnn_cache: str | None = None      # directory of reusable CNN-PE states:
                                       # the PE phase depends only on
                                       # (seed, pe config), so sweeps over GAN
@@ -389,6 +399,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
 
     score = 0.0
     best_score = -1.0
+    sel_score, sel_state, sel_step = float("-inf"), None, None
     best_state = gan_state
     n_cad = 0
     frozen_at = None
@@ -450,6 +461,17 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                           f"wf_corr: {diag['wf_corr']:.4f}")
                     if score > best_score:
                         best_score, best_state = score, gan_state
+                if cfg.select_best == "elbo":
+                    from gennet_tpu.eval import posterior_post as pp
+
+                    elbo = pp.elbo_score(
+                        samples,
+                        lambda s: sine_gaussian(s[:, 0], s[:, 1], N=cfg.n_pix),
+                        measured, cfg.n_sig)
+                    diag["elbo"] = elbo
+                    print(f"cloud ELBO: {elbo:.1f}")
+                    if elbo > sel_score:
+                        sel_score, sel_state, sel_step = elbo, gan_state, i
                 if cfg.freeze_on_white > 0 and frozen_at is None:
                     from gennet_tpu.eval.whiteness import whiteness_score
 
@@ -486,6 +508,15 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     # final state healthy, with best-state kept only as a diagnostic
     whiteness = None
     final_score = 0.0
+    if cfg.select_best and sel_state is not None:
+        # truth-free state selection: the final posterior comes from the
+        # eval-cadence state with the best cloud ELBO, not the last/frozen
+        # state (snapshot pooling is disabled for it — the selected cloud
+        # was scored for THAT state alone)
+        print(f"ELBO-selected state from step {sel_step} "
+              f"(ELBO {sel_score:.1f})")
+        gan_state = sel_state
+        snapshots.clear()
     if cfg.gan_iters > 0:
         key, sub = jax.random.split(key)
         if cfg.n_snapshots <= 1:
@@ -519,6 +550,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             "grid_overlap": final_score,          # final-state score (the gate)
             "grid_overlap_best": best_score,      # best cadence state (diagnostic)
             "frozen_at": frozen_at,               # early-stop step (None = ran full)
+            "selected_at": sel_step,              # ELBO-selected step (None = off)
             "whiteness": whiteness}
 
 
@@ -882,6 +914,13 @@ class BBHConfig:
                                         # at the (mc,q) estimates vs the
                                         # measured series; GAN cloud =
                                         # proposal; ESS logged)
+    select_best: str = ""               # "elbo": final posterior comes from
+                                        # the eval-cadence state whose cloud
+                                        # scored the highest ELBO
+                                        # E_q[logL] + H(q) (truth-free; see
+                                        # burst config / posterior_post.
+                                        # elbo_score). "" = reference
+                                        # last-iteration semantics
     grid_grain: int = 95                # exact-grid posterior resolution for
                                         # the synthetic event (0 = disable)
     n_sig: float = 1.0
@@ -1130,6 +1169,17 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     snapshots = deque(maxlen=max(1, cfg.n_snapshots))
 
+    def synth(sm):
+        # clip to the region where the PhenomD fits are sane (the
+        # hunt_constrain prior is mc 20-35, q >= 0.5; far-corner values
+        # like mc~1/q~0.05 NaN the fits, and the ML refinement's Adam can
+        # wander there)
+        sm = jnp.asarray(sm)
+        mc = jnp.clip(sm[:, 0], 5.0, 60.0)
+        q = jnp.clip(sm[:, 1], 0.2, 1.0)
+        m1s, m2s = priors.mc_q_to_m1m2(mc, q)
+        return tb.make_templates_from_params(m1s, m2s, psd, bank_cfg, norm)
+
     def draw_posterior(states, key):
         per = cfg.n_posterior if len(states) == 1 else max(cfg.n_posterior // len(states), 256)
         if cfg.posterior_drate >= 0.0:
@@ -1160,17 +1210,6 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         if (cfg.pe_debias > 0 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
                 or cfg.reweight_temper > 0):
             from gennet_tpu.eval import posterior_post as pp
-
-            def synth(sm):
-                # clip to the region where the PhenomD fits are sane (the
-                # hunt_constrain prior is mc 20-35, q >= 0.5; far-corner
-                # values like mc~1/q~0.05 NaN the fits, and the ML
-                # refinement's Adam can wander there)
-                sm = jnp.asarray(sm)
-                mc = jnp.clip(sm[:, 0], 5.0, 60.0)
-                q = jnp.clip(sm[:, 1], 0.2, 1.0)
-                m1s, m2s = priors.mc_q_to_m1m2(mc, q)
-                return tb.make_templates_from_params(m1s, m2s, psd, bank_cfg, norm)
 
             cnn = lambda w: cnn_predict(pe_model, pe_state, w, use_ema=pe_use_ema)
             if cfg.pe_debias > 0:
@@ -1238,7 +1277,13 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 # a collapsed posterior has zero overlap by definition
                 out["beta"] = 0.0
                 out["grid_overlap"] = 0.0 if grid is not None else None
-        row = {k: out[k] for k in ("whiteness", "beta", "beta_sanity", "grid_overlap")
+        if cfg.select_best == "elbo" and samples[:, 0].var() > 0:
+            from gennet_tpu.eval import posterior_post as pp
+
+            out["elbo"] = pp.elbo_score(samples, synth, measured, cfg.n_sig)
+            print(f"cloud ELBO: {out['elbo']:.1f}")
+        row = {k: out[k] for k in ("whiteness", "beta", "beta_sanity",
+                                   "grid_overlap", "elbo")
                if out.get(k) is not None}
         log.log(step, row if tag is None else {f"{k}_{tag}": v for k, v in row.items()})
         return out
@@ -1253,6 +1298,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     beta_hist, beta_steps = [], []
     best_white, best_state = -1.0, gan_state
+    sel_score, sel_state, sel_step = float("-inf"), None, None
     frozen_at = None
     log.steps_per_sec(start)  # reset the steps/sec window for the GAN phase
     for i0 in range(start, cfg.gan_iters, chunk):
@@ -1274,6 +1320,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             ev = eval_posterior(list(snapshots), sub, i)
             if ev["whiteness"] > best_white:
                 best_white, best_state = ev["whiteness"], gan_state
+            if ev.get("elbo", float("-inf")) > sel_score:
+                sel_score, sel_state, sel_step = ev["elbo"], gan_state, i
             # combined gate, as measured on the burst campaign (commit
             # c6ca0b5): whiteness alone false-positives on 256 draws, the
             # res loss alone on moment-matched wrong morphology — require
@@ -1314,6 +1362,12 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     # ---- FINAL-state artifacts (the reference uses the last iteration's
     # state, ref: :1241); best-whiteness state persisted as a diagnostic ----
     whiteness = beta_final = grid_overlap_final = beta_sanity_final = None
+    if cfg.select_best and sel_state is not None:
+        # truth-free state selection (see burst workload): the final
+        # posterior comes from the max-ELBO eval state, not the last one
+        print(f"ELBO-selected state from step {sel_step} (ELBO {sel_score:.1f})")
+        gan_state = sel_state
+        snapshots.clear()
     if cfg.gan_iters > start:
         key, sub = jax.random.split(key)
         final_states = [gan_state] if cfg.n_snapshots <= 1 else \
@@ -1348,6 +1402,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         "cnn_sanity_beta": cnn_sanity_beta,
         "final_step": int(gan_state.step),
         "frozen_at": frozen_at,
+        "selected_at": sel_step,
         "whiteness": whiteness,
         "pe_rms": pe_rms,
         "pe_std": pe_std,

@@ -184,6 +184,59 @@ def likelihood_resample(samples: np.ndarray, synth_fn, measured,
     return np.asarray(s[idx])
 
 
+def elbo_score(samples: np.ndarray, synth_fn, measured, n_sig: float,
+               entropy: str = "gauss") -> float:
+    """Truth-free cloud-quality score: ELBO of the cloud vs the exact posterior.
+
+    For a cloud q and the data-only posterior p(θ|d) ∝ exp(logL(θ)) (flat
+    prior over the search window), ELBO(q) = E_q[logL] + H(q) equals
+    log Z − KL(q ‖ p): ranking snapshot states by ELBO ranks them by
+    closeness to the exact posterior WITHOUT evaluating the posterior on a
+    grid — only the forward model at the cloud's own points. This is the
+    selection analogue of :func:`likelihood_resample` (same logL, used to
+    score a whole cloud instead of reweighting its points). Measured need:
+    the burst whiteness score saturates at 1.0 across late snapshots whose
+    overlaps still range 0.76–0.93, so whiteness cannot pick between them;
+    E_q[logL] alone would reward delta-collapse onto the ML point — the
+    entropy term is what penalizes both collapse and over-dispersion.
+
+    entropy='gauss': ½·log det(2πe·Σ̂) — exact for Gaussian clouds, robust
+    to the duplicate points systematic resampling produces. 'knn':
+    Kozachenko–Leonenko k-NN estimator (nonparametric; duplicates floored).
+    Returns −inf when no draw has finite likelihood.
+    """
+    s = jnp.asarray(samples)
+    n, p = s.shape
+    wf = synth_fn(s)
+    d = jnp.asarray(measured)[None, :]
+    logl = -0.5 * jnp.sum((d - wf) ** 2, axis=1) / (n_sig**2)
+    finite = jnp.isfinite(logl)
+    if not bool(jnp.any(finite)):
+        return float("-inf")
+    # non-finite forward-model output = q mass where the likelihood is
+    # undefined; charge it the worst finite draw minus a fixed penalty
+    floor = jnp.min(jnp.where(finite, logl, jnp.inf)) - 100.0
+    mean_logl = jnp.mean(jnp.where(finite, logl, floor))
+    if entropy == "knn":
+        from scipy.special import digamma, gammaln
+
+        k = min(4, n - 1)
+        x = np.asarray(s, np.float64)
+        d2 = np.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+        np.fill_diagonal(d2, np.inf)
+        eps = np.sqrt(np.partition(d2, k - 1, axis=1)[:, k - 1])
+        eps = np.maximum(eps, 1e-300)  # duplicate points (resampled clouds)
+        log_vp = (p / 2.0) * np.log(np.pi) - gammaln(p / 2.0 + 1.0)
+        h = (digamma(n) - digamma(k) + log_vp
+             + (p / n) * np.sum(np.log(eps)))
+    else:
+        cov = jnp.cov(s, rowvar=False) + 1e-24 * jnp.eye(p)
+        sign, logdet = jnp.linalg.slogdet(2.0 * jnp.pi * jnp.e * cov)
+        h = jnp.where(sign > 0, 0.5 * logdet, -jnp.inf)
+    out = float(mean_logl + h)
+    return out if np.isfinite(out) else float("-inf")
+
+
 def effective_sample_size(samples: np.ndarray, synth_fn, measured,
                           n_sig: float, temper: float = 1.0) -> float:
     """ESS of the likelihood weights — the proposal-adequacy diagnostic

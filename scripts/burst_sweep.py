@@ -176,6 +176,16 @@ VARIANTS = {
                  "pe_noise_frac": 0.5, "pe_iters": 60000,
                  "pe_no_norm": True, "n_posterior": 4000,
                  "freeze_on_res": 2e-4, "pe_mlrc": 1, "pe_bootcal": 1},
+    # ELBO state selection on top of the calibration stack: whiteness
+    # saturates at 1.0 across late states whose overlaps range 0.76–0.93,
+    # so the freeze gate can stop on a mediocre one; ELBO (= −KL to the
+    # exact posterior + const, truth-free) picks among them. No freeze —
+    # selection wants the full eval trajectory to choose from.
+    "mlrc_sel": {"pe_mlrc": 1, "pe_bootcal": 1, "select_best": "elbo",
+                 "freeze_on_white": 0.0},
+    # selection + freeze: cheaper (stops early) but selects only among
+    # pre-freeze states
+    "mlrc_sel_frz": {"pe_mlrc": 1, "pe_bootcal": 1, "select_best": "elbo"},
     "reweight": {"reweight_temper": 1.0},
     "reweight05": {"reweight_temper": 0.5},
     "debias_reweight": {"pe_debias": 1, "reweight_temper": 1.0},
@@ -210,6 +220,7 @@ def run_one(name, seed, iters):
         "grid_overlap_best": out["grid_overlap_best"],
         "whiteness": out["whiteness"], "rms": out["rms"],
         "frozen_at": out.get("frozen_at"),
+        "selected_at": out.get("selected_at"),
         "wall_s": round(time.time() - t0, 1),
     }
     os.makedirs("out/sweeps", exist_ok=True)

@@ -157,3 +157,42 @@ def test_likelihood_resample_concentrates_on_truth():
     assert abs(res[:, 1].mean() - truth[1]) < 0.005
     ess = pp.effective_sample_size(cloud, SYNTH, measured, n_sig)
     assert 1.0 < ess < 1000.0  # weights genuinely informative
+
+
+def test_elbo_score_ranks_correct_posterior_cloud_highest():
+    # Linear forward model s(θ) = Aθ ⇒ the posterior given d = Aθ* + noise
+    # is exactly N(μ, Σ) with Σ = n_sig²(AᵀA)⁻¹, and N(μ, Σ) uniquely
+    # maximizes ELBO over all clouds. The selector must rank the correct
+    # cloud above biased, collapsed, and over-dispersed versions of itself —
+    # the measured burst failure modes whiteness could not separate.
+    rng = np.random.default_rng(3)
+    n_sig = 0.1
+    A = rng.normal(size=(64, 2))
+    synth = lambda s: jnp.asarray(s) @ jnp.asarray(A).T
+    theta_star = np.array([0.3, -0.7])
+    d = A @ theta_star + n_sig * rng.normal(size=64)
+    cov = n_sig**2 * np.linalg.inv(A.T @ A)
+    mu = np.linalg.solve(A.T @ A, A.T @ d)
+    L = np.linalg.cholesky(cov)
+    z = rng.normal(size=(2048, 2))
+    correct = mu[None, :] + z @ L.T
+    sig = np.sqrt(np.diag(cov))
+    biased = correct + 3.0 * sig[None, :]
+    collapsed = mu[None, :] + 0.05 * (z @ L.T)
+    wide = mu[None, :] + 8.0 * (z @ L.T)
+    scores = {name: pp.elbo_score(c, synth, d, n_sig)
+              for name, c in [("correct", correct), ("biased", biased),
+                              ("collapsed", collapsed), ("wide", wide)]}
+    assert max(scores, key=scores.get) == "correct", scores
+    # knn entropy estimator agrees on the ranking
+    scores_knn = {name: pp.elbo_score(c, synth, d, n_sig, entropy="knn")
+                  for name, c in [("correct", correct), ("biased", biased),
+                                  ("collapsed", collapsed), ("wide", wide)]}
+    assert max(scores_knn, key=scores_knn.get) == "correct", scores_knn
+
+
+def test_elbo_score_nonfinite_forward_model():
+    # all-NaN forward model -> -inf, never an exception or a NaN score
+    nan_synth = lambda s: jnp.full((s.shape[0], 16), jnp.nan)
+    cloud = np.random.default_rng(0).normal(size=(128, 2))
+    assert pp.elbo_score(cloud, nan_synth, np.zeros(16), 0.1) == float("-inf")
