@@ -142,9 +142,15 @@ def main():
 
         for name, s in routes.items():
             b, g = score(np.asarray(s))
+            # truth-free selector score alongside the truth metrics: the
+            # (elbo, grid_overlap) pairs across runs/routes validate that
+            # argmax-ELBO selection picks high-overlap clouds on the
+            # flagship, not just in the Gaussian unit test
+            e = pp.elbo_score(np.asarray(s), synth, measured, cfg.n_sig)
             row = {"run": os.path.basename(out_dir.rstrip("/")),
                    "route": name, "beta": round(float(b), 4),
                    "grid_overlap": round(float(g), 4),
+                   "elbo": round(float(e), 2) if np.isfinite(e) else None,
                    "cloud": npzs[-1].rsplit("/", 1)[1]}
             if name.startswith("reweight"):
                 row["ess"] = ess[1.0 if name == "reweight1" else 0.5]
