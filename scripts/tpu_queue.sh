@@ -1,16 +1,21 @@
 #!/bin/bash
 # One-chip work queue: wait for the flagship supervisor (pid in
-# /tmp/bbh.pid) to finish, then run the burst ELBO-selection sweeps.
-# Each sweep is bounded (tunnel wedges hang silently) and retried once
-# after a device-health wait; failures move on so one sick variant
-# cannot starve the rest. Usage: nohup bash scripts/tpu_queue.sh &
+# /tmp/bbh.pid) to finish, then run work items from scripts/tpu_queue.txt
+# (one shell command per line; '#' comments). The list file is re-read
+# between items, so priorities can be edited while the queue runs —
+# completed items are recorded in /tmp/queue_done.txt and skipped.
+# Each item is bounded (tunnel wedges hang silently) and retried once
+# after a device-health wait; failures move on so one sick item cannot
+# starve the rest. Usage: nohup bash scripts/tpu_queue.sh &
 set -u
 cd "$(dirname "$0")/.."
+DONE=/tmp/queue_done.txt
+touch "$DONE"
 
 while kill -0 "$(cat /tmp/bbh.pid 2>/dev/null)" 2>/dev/null; do
   sleep 60
 done
-echo "[queue] flagship done; starting burst sweeps" >&2
+echo "[queue] flagship done; draining scripts/tpu_queue.txt" >&2
 
 health_wait() {
   for _ in $(seq 1 60); do
@@ -25,16 +30,20 @@ x = jnp.ones((256, 256)); print(float(np.asarray((x @ x).sum())))" \
   return 1
 }
 
-for variant in mlrc_sel mlrc_sel_frz; do
-  for seed in 0 1 2; do
-    for attempt in 1 2; do
-      echo "[queue] $variant s$seed attempt $attempt" >&2
-      health_wait
-      if timeout 3600 python scripts/burst_sweep.py "$variant" "$seed" 50000; then
-        break
-      fi
-      echo "[queue] $variant s$seed attempt $attempt failed" >&2
-    done
+while true; do
+  item=$(grep -v '^\s*#' scripts/tpu_queue.txt 2>/dev/null \
+         | grep -v '^\s*$' | while IFS= read -r line; do
+             grep -qxF "$line" "$DONE" || { echo "$line"; break; }
+           done)
+  [ -z "$item" ] && break
+  for attempt in 1 2; do
+    echo "[queue] attempt $attempt: $item" >&2
+    health_wait
+    if timeout 4500 bash -c "$item"; then
+      break
+    fi
+    echo "[queue] attempt $attempt failed: $item" >&2
   done
+  echo "$item" >> "$DONE"
 done
-echo "[queue] all sweeps done" >&2
+echo "[queue] all items done" >&2
