@@ -165,34 +165,18 @@ def bench_gan_step():
     return out
 
 
-def _wait_device_healthy(max_tries: int = 10) -> None:
-    """Bounded pre-flight: the axon tunnel intermittently wedges (silent
-    futex hang); a fresh-process probe detects it without hanging THIS
-    process. Healthy chip = one ~5 s probe; wedged = up to ~10 min of
-    cooloff before proceeding anyway (the measurement would hang regardless
-    if the tunnel is still down — this just rides out transient wedges)."""
-    import subprocess
-    import sys
-
-    snippet = ("import jax, jax.numpy as jnp, numpy as np;"
-               "x = jnp.ones((256, 256));"
-               "print(float(np.asarray((x @ x).sum())))")
-    for i in range(max_tries):
-        rc = subprocess.call(["timeout", "90", sys.executable, "-c", snippet],
-                             stdout=subprocess.DEVNULL,
-                             stderr=subprocess.DEVNULL)
-        if rc == 0:
-            return
-        print(f"[bench] device probe {i + 1}/{max_tries} failed; waiting 60s",
-              flush=True)
-        time.sleep(60)
-
-
 def main():
+    # Pre-flight BEFORE any backend init in this process: the probe runs in
+    # a fresh subprocess, so a wedged tunnel is detected (and ridden out for
+    # up to 10 min) without this process becoming a stuck client itself.
+    from gennet_tpu.runtime.health import wait_device_healthy
+
+    wait_device_healthy(max_wait=600, log=lambda m: print(f"[bench] {m}",
+                                                          flush=True))
+
     from gennet_tpu import runtime
 
     runtime.setup()
-    _wait_device_healthy()
 
     gan = bench_gan_step()
     rate, flops_per_template = bench_bank()

@@ -235,6 +235,10 @@ class BurstSmokeConfig:
 
 def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     """Full burst mahoGANy; returns summary dict incl. final grid-overlap."""
+    if cfg.select_best not in ("", "elbo"):
+        raise ValueError(f"select_best={cfg.select_best!r}: must be '' or "
+                         "'elbo' (a typo would silently revert to "
+                         "last-iteration semantics)")
     key = jax.random.PRNGKey(cfg.seed)
     k_bank, k_event, k_noise, key = jax.random.split(key, 4)
     os.makedirs(cfg.out_dir, exist_ok=True)
@@ -399,7 +403,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
 
     score = 0.0
     best_score = -1.0
-    sel_score, sel_state, sel_step = float("-inf"), None, None
+    sel_score, sel_states, sel_step = float("-inf"), None, None
     best_state = gan_state
     n_cad = 0
     frozen_at = None
@@ -434,7 +438,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                 if n_cad % max(1, cfg.eval_every) != 0:
                     continue
                 key, sub = jax.random.split(key)
-                wf, samples = draw_posterior(list(snapshots) or [gan_state], sub)
+                eval_states = list(snapshots) or [gan_state]
+                wf, samples = draw_posterior(eval_states, sub)
                 # cloud diagnostics vs the exact grid: bias (mean offset in
                 # exact-σ units) and dispersion ratio per parameter — these
                 # separate "biased cloud" from "collapsed/over-dispersed cloud"
@@ -461,17 +466,24 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                           f"wf_corr: {diag['wf_corr']:.4f}")
                     if score > best_score:
                         best_score, best_state = score, gan_state
-                if cfg.select_best == "elbo":
-                    from gennet_tpu.eval import posterior_post as pp
+                    if cfg.select_best == "elbo":
+                        # inside the degeneracy guard: a collapsed cloud
+                        # must never be selectable
+                        from gennet_tpu.eval import posterior_post as pp
 
-                    elbo = pp.elbo_score(
-                        samples,
-                        lambda s: sine_gaussian(s[:, 0], s[:, 1], N=cfg.n_pix),
-                        measured, cfg.n_sig)
-                    diag["elbo"] = elbo
-                    print(f"cloud ELBO: {elbo:.1f}")
-                    if elbo > sel_score:
-                        sel_score, sel_state, sel_step = elbo, gan_state, i
+                        elbo = pp.elbo_score(
+                            samples,
+                            lambda s: sine_gaussian(s[:, 0], s[:, 1],
+                                                    N=cfg.n_pix),
+                            measured, cfg.n_sig)
+                        if np.isfinite(elbo):
+                            diag["elbo"] = elbo
+                        print(f"cloud ELBO: {elbo:.1f}")
+                        if elbo > sel_score:
+                            # record the exact state LIST that produced the
+                            # scored cloud (snapshot pooling included)
+                            sel_score, sel_states, sel_step = \
+                                elbo, eval_states, i
                 if cfg.freeze_on_white > 0 and frozen_at is None:
                     from gennet_tpu.eval.whiteness import whiteness_score
 
@@ -508,18 +520,16 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     # final state healthy, with best-state kept only as a diagnostic
     whiteness = None
     final_score = 0.0
-    if cfg.select_best and sel_state is not None:
-        # truth-free state selection: the final posterior comes from the
-        # eval-cadence state with the best cloud ELBO, not the last/frozen
-        # state (snapshot pooling is disabled for it — the selected cloud
-        # was scored for THAT state alone)
-        print(f"ELBO-selected state from step {sel_step} "
-              f"(ELBO {sel_score:.1f})")
-        gan_state = sel_state
-        snapshots.clear()
     if cfg.gan_iters > 0:
         key, sub = jax.random.split(key)
-        if cfg.n_snapshots <= 1:
+        if cfg.select_best and sel_states is not None:
+            # truth-free state selection: the final posterior comes from the
+            # exact state list whose pooled cloud scored the best ELBO, not
+            # the last/frozen state
+            print(f"ELBO-selected state(s) from step {sel_step} "
+                  f"(ELBO {sel_score:.1f})")
+            final_states = sel_states
+        elif cfg.n_snapshots <= 1:
             final_states = [gan_state]          # reference behavior
         else:
             final_states = list(snapshots) or [gan_state]
@@ -993,6 +1003,10 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     validation. β is ALWAYS reported: against lalinference products when
     mounted, else against the exact grid posterior of the synthetic event
     (same role as the burst workload's analytic grid, SURVEY.md §4 idiom #1)."""
+    if cfg.select_best not in ("", "elbo"):
+        raise ValueError(f"select_best={cfg.select_best!r}: must be '' or "
+                         "'elbo' (a typo would silently revert to "
+                         "last-iteration semantics)")
     key = jax.random.PRNGKey(cfg.seed)
     os.makedirs(cfg.out_dir, exist_ok=True)
     # persist the exact run config so post-hoc tools (e.g.
@@ -1277,11 +1291,16 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 # a collapsed posterior has zero overlap by definition
                 out["beta"] = 0.0
                 out["grid_overlap"] = 0.0 if grid is not None else None
-        if cfg.select_best == "elbo" and samples[:, 0].var() > 0:
+        if (cfg.select_best == "elbo" and samples[:, 0].var() > 0
+                and samples[:, 1].var() > 0):
+            # inside the degeneracy guard: a collapsed cloud must never be
+            # selectable; non-finite scores stay out of the jsonl log
             from gennet_tpu.eval import posterior_post as pp
 
-            out["elbo"] = pp.elbo_score(samples, synth, measured, cfg.n_sig)
-            print(f"cloud ELBO: {out['elbo']:.1f}")
+            elbo = pp.elbo_score(samples, synth, measured, cfg.n_sig)
+            print(f"cloud ELBO: {elbo:.1f}")
+            if np.isfinite(elbo):
+                out["elbo"] = elbo
         row = {k: out[k] for k in ("whiteness", "beta", "beta_sanity",
                                    "grid_overlap", "elbo")
                if out.get(k) is not None}
@@ -1298,7 +1317,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     beta_hist, beta_steps = [], []
     best_white, best_state = -1.0, gan_state
-    sel_score, sel_state, sel_step = float("-inf"), None, None
+    sel_score, sel_states, sel_step = float("-inf"), None, None
     frozen_at = None
     log.steps_per_sec(start)  # reset the steps/sec window for the GAN phase
     for i0 in range(start, cfg.gan_iters, chunk):
@@ -1317,11 +1336,14 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             snapshots.append(gan_state)
             # posterior draw fully on-device: G samples → CNN (ref: :1330-1343)
             key, sub = jax.random.split(key)
-            ev = eval_posterior(list(snapshots), sub, i)
+            eval_states = list(snapshots)
+            ev = eval_posterior(eval_states, sub, i)
             if ev["whiteness"] > best_white:
                 best_white, best_state = ev["whiteness"], gan_state
             if ev.get("elbo", float("-inf")) > sel_score:
-                sel_score, sel_state, sel_step = ev["elbo"], gan_state, i
+                # record the exact state LIST that produced the scored
+                # cloud (snapshot pooling included)
+                sel_score, sel_states, sel_step = ev["elbo"], eval_states, i
             # combined gate, as measured on the burst campaign (commit
             # c6ca0b5): whiteness alone false-positives on 256 draws, the
             # res loss alone on moment-matched wrong morphology — require
@@ -1362,16 +1384,18 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     # ---- FINAL-state artifacts (the reference uses the last iteration's
     # state, ref: :1241); best-whiteness state persisted as a diagnostic ----
     whiteness = beta_final = grid_overlap_final = beta_sanity_final = None
-    if cfg.select_best and sel_state is not None:
-        # truth-free state selection (see burst workload): the final
-        # posterior comes from the max-ELBO eval state, not the last one
-        print(f"ELBO-selected state from step {sel_step} (ELBO {sel_score:.1f})")
-        gan_state = sel_state
-        snapshots.clear()
     if cfg.gan_iters > start:
         key, sub = jax.random.split(key)
-        final_states = [gan_state] if cfg.n_snapshots <= 1 else \
-            (list(snapshots) + ([] if snapshots and snapshots[-1] is gan_state else [gan_state]))
+        if cfg.select_best and sel_states is not None:
+            # truth-free state selection (see burst workload): the final
+            # posterior comes from the exact state list whose pooled cloud
+            # scored the best ELBO, not the last/frozen state
+            print(f"ELBO-selected state(s) from step {sel_step} "
+                  f"(ELBO {sel_score:.1f})")
+            final_states = sel_states
+        else:
+            final_states = [gan_state] if cfg.n_snapshots <= 1 else \
+                (list(snapshots) + ([] if snapshots and snapshots[-1] is gan_state else [gan_state]))
         ev = eval_posterior(final_states, sub, cfg.gan_iters, tag="final")
         whiteness, beta_final = ev["ws"], ev["beta"]
         grid_overlap_final = ev["grid_overlap"]

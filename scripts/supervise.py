@@ -17,6 +17,10 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gennet_tpu.runtime.health import wait_device_healthy
+
 
 def mtime(path):
     try:
@@ -25,38 +29,8 @@ def mtime(path):
         return 0.0
 
 
-# sitecustomize pins the axon platform before env vars are read, so the
-# probe must re-apply JAX_PLATFORMS via jax.config to honor CPU overrides.
-HEALTH_SNIPPET = (
-    "import os, jax;"
-    "p = os.environ.get('JAX_PLATFORMS');"
-    "p and jax.config.update('jax_platforms', p);"
-    "import jax.numpy as jnp, numpy as np;"
-    "x = jnp.ones((256, 256));"
-    "print(float(np.asarray((x @ x).sum())))"
-)
-
-
-def wait_device_healthy(max_wait=3600):
-    """Block until a fresh process can run a tiny program to completion.
-
-    After a wedge the tunnel needs a client-free cooloff (observed ~10 min);
-    relaunching the real job into a sick tunnel just wedges the new attempt
-    at device init and burns another stall timeout.
-    """
-    t0 = time.time()
-    while time.time() - t0 < max_wait:
-        rc = subprocess.call(
-            ["timeout", "90", sys.executable, "-c", HEALTH_SNIPPET],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        if rc == 0:
-            print("[supervise] device healthy", flush=True)
-            return True
-        print("[supervise] device unhealthy; cooling off 60s", flush=True)
-        time.sleep(60)
-    print("[supervise] device still unhealthy after "
-          f"{max_wait:.0f}s; launching anyway", flush=True)
-    return False
+def _log(msg):
+    print(f"[supervise] {msg.removeprefix('[health] ')}", flush=True)
 
 
 def main():
@@ -68,7 +42,7 @@ def main():
     attempt = 0
     while True:
         attempt += 1
-        wait_device_healthy()
+        wait_device_healthy(log=_log)
         print(f"[supervise] attempt {attempt}: {' '.join(cmd)}", flush=True)
         proc = subprocess.Popen(cmd)
         start = time.time()

@@ -12,22 +12,20 @@ cd "$(dirname "$0")/.."
 DONE=/tmp/queue_done.txt
 touch "$DONE"
 
-while kill -0 "$(cat /tmp/bbh.pid 2>/dev/null)" 2>/dev/null; do
+# ONE chip: wait while the flagship supervisor (pid file) is alive OR any
+# train-bbh process is visible — a missing/stale pid file alone must not
+# start the queue next to a live training run.
+flagship_busy() {
+  kill -0 "$(cat /tmp/bbh.pid 2>/dev/null)" 2>/dev/null && return 0
+  ps aux | grep -a "cli.main train-bbh" | grep -qv grep
+}
+while flagship_busy; do
   sleep 60
 done
 echo "[queue] flagship done; draining scripts/tpu_queue.txt" >&2
 
 health_wait() {
-  for _ in $(seq 1 60); do
-    if timeout 90 python -c "
-import jax, jax.numpy as jnp, numpy as np
-x = jnp.ones((256, 256)); print(float(np.asarray((x @ x).sum())))" \
-        >/dev/null 2>&1; then
-      return 0
-    fi
-    sleep 60
-  done
-  return 1
+  python -m gennet_tpu.runtime.health 3600
 }
 
 while true; do
