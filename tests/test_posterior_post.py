@@ -196,3 +196,61 @@ def test_elbo_score_nonfinite_forward_model():
     nan_synth = lambda s: jnp.full((s.shape[0], 16), jnp.nan)
     cloud = np.random.default_rng(0).normal(size=(128, 2))
     assert pp.elbo_score(cloud, nan_synth, np.zeros(16), 0.1) == float("-inf")
+
+
+def test_elbo_ranking_tracks_grid_overlap_on_burst_geometry():
+    # Validation on the REAL selection geometry (not just the Gaussian unit
+    # test): seed-1 burst event from the r3 diagnosis, exact grid posterior
+    # as the truth metric, and a cloud family in the regime selection
+    # actually operates in — POST-calibration clouds (mlrc recenters,
+    # bootcal shrinks to the estimator's noise-limited width), i.e.
+    # grid-scale dispersions (0.5-2x) and small-to-moderate biases
+    # (0-3 sigma in tau, ~1 ms in t0). argmax-ELBO must pick the
+    # max-overlap cloud and the rankings must agree (Spearman rho > 0.7).
+    #
+    # Known regime limit (measured, documented): for RAW 1000-sigma-
+    # over-dispersed clouds the mean-logL term saturates (every draw is
+    # likelihood-dead) and ELBO cannot separate a -1093-sigma bias from
+    # its debiased twin — selection must score clouds AFTER the
+    # calibration stack, which is how the workloads wire it.
+    import jax
+    from gennet_tpu.eval import grid_posterior as gp
+
+    n_sig, n_pix = 0.25, 512
+    key = jax.random.PRNGKey(1)
+    _, _, k_noise, key = jax.random.split(key, 4)
+    signal = sine_gaussian(0.5, 1.0 / 25.0, N=n_pix)
+    measured = np.asarray(signal + n_sig * jax.random.normal(k_noise, signal.shape))
+    L, gx, gy = gp.burst_grid_posterior(jnp.asarray(measured), n_sig, 95)
+    L = np.asarray(L, np.float64)
+    mx, my, sx, sy = gp.grid_moments(L, gx, gy)
+    synth = lambda s: sine_gaussian(s[:, 0], s[:, 1], N=n_pix)
+
+    rng = np.random.default_rng(0)
+    clouds = {}
+    for w in (0.5, 1.0, 2.0):
+        for b in (0.0, 1.0, 3.0):
+            clouds[f"w{w}_btau{b}"] = np.stack([
+                mx + rng.normal(0, max(w * sx, 2e-4), 400),
+                my + b * sy + rng.normal(0, w * sy, 400)], -1)
+    # the seed-1 residual failure scale after debias: ~1 ms t0 shift
+    clouds["t0shift_1ms"] = np.stack([
+        mx + 1e-3 + rng.normal(0, 2e-4, 400),
+        my + rng.normal(0, sy, 400)], -1)
+
+    overlaps = {k: gp.grid_overlap_score(c, L, gx, gy) for k, c in clouds.items()}
+    elbos = {k: pp.elbo_score(c, synth, measured, n_sig) for k, c in clouds.items()}
+    assert max(elbos, key=elbos.get) == max(overlaps, key=overlaps.get), (
+        overlaps, elbos)
+    # bias ordering at every width: centered > 1 sigma > 3 sigma
+    for w in (0.5, 1.0, 2.0):
+        assert (elbos[f"w{w}_btau0.0"] > elbos[f"w{w}_btau1.0"]
+                > elbos[f"w{w}_btau3.0"]), (w, elbos)
+    # rank agreement over the whole family
+    names = list(clouds)
+    ov_rank = {k: r for r, k in enumerate(sorted(names, key=overlaps.get))}
+    el_rank = {k: r for r, k in enumerate(sorted(names, key=elbos.get))}
+    n = len(names)
+    d2 = sum((ov_rank[k] - el_rank[k]) ** 2 for k in names)
+    rho = 1.0 - 6.0 * d2 / (n * (n**2 - 1))
+    assert rho > 0.7, (rho, overlaps, elbos)
