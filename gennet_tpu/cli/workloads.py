@@ -218,6 +218,14 @@ class BurstSmokeConfig:
                                       # 1.0 across late states whose overlaps
                                       # still range 0.76–0.93. "" = reference
                                       # last-iteration semantics
+    select_route: str = ""            # "elbo": automatic calibration-route
+                                      # selection per posterior draw — apply
+                                      # the whole route library (raw/bootcal/
+                                      # mlrc/mlrc_bootcal/±reweight), ELBO-
+                                      # score each, keep the argmax
+                                      # (posterior_post.select_route;
+                                      # replaces the per-knob chain). "" =
+                                      # use the individual pe_* knobs
     cnn_cache: str | None = None      # directory of reusable CNN-PE states:
                                       # the PE phase depends only on
                                       # (seed, pe config), so sweeps over GAN
@@ -239,6 +247,10 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
         raise ValueError(f"select_best={cfg.select_best!r}: must be '' or "
                          "'elbo' (a typo would silently revert to "
                          "last-iteration semantics)")
+    if cfg.select_route not in ("", "elbo"):
+        raise ValueError(f"select_route={cfg.select_route!r}: must be '' or "
+                         "'elbo' (a typo would silently fall back to the "
+                         "per-knob calibration chain)")
     key = jax.random.PRNGKey(cfg.seed)
     k_bank, k_event, k_noise, key = jax.random.split(key, 4)
     os.makedirs(cfg.out_dir, exist_ok=True)
@@ -365,7 +377,19 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             wf_in = wf + cfg.posterior_noise * cfg.n_sig * jax.random.normal(
                 kn, wf.shape, wf.dtype)
         samples = np.asarray(cnn_predict(pe_model, pe_state, normalize_max(wf_in, pe_cfg)))
-        if (cfg.pe_debias > 0 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
+        if cfg.select_route == "elbo":
+            from gennet_tpu.eval import posterior_post as pp
+
+            synth = lambda s: sine_gaussian(s[:, 0], s[:, 1], N=cfg.n_pix)
+            cnn = lambda w: cnn_predict(pe_model, pe_state,
+                                        normalize_max(w, pe_cfg))
+            key, ks = jax.random.split(key)
+            route, samples, scores = pp.select_route(
+                samples, synth, cnn, measured, cfg.n_sig, ks,
+                temper=(cfg.reweight_temper if cfg.reweight_temper > 0
+                        else 1.0))
+            print(f"auto route: {route} (ELBO {scores[route]:.1f})")
+        elif (cfg.pe_debias > 0 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
                 or cfg.reweight_temper > 0):
             from gennet_tpu.eval import posterior_post as pp
 
@@ -931,6 +955,10 @@ class BBHConfig:
                                         # burst config / posterior_post.
                                         # elbo_score). "" = reference
                                         # last-iteration semantics
+    select_route: str = ""              # "elbo": automatic calibration-route
+                                        # selection per draw (see burst
+                                        # config; posterior_post.select_route
+                                        # replaces the per-knob chain)
     grid_grain: int = 95                # exact-grid posterior resolution for
                                         # the synthetic event (0 = disable)
     n_sig: float = 1.0
@@ -1007,6 +1035,10 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         raise ValueError(f"select_best={cfg.select_best!r}: must be '' or "
                          "'elbo' (a typo would silently revert to "
                          "last-iteration semantics)")
+    if cfg.select_route not in ("", "elbo"):
+        raise ValueError(f"select_route={cfg.select_route!r}: must be '' or "
+                         "'elbo' (a typo would silently fall back to the "
+                         "per-knob calibration chain)")
     key = jax.random.PRNGKey(cfg.seed)
     os.makedirs(cfg.out_dir, exist_ok=True)
     # persist the exact run config so post-hoc tools (e.g.
@@ -1221,7 +1253,18 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         samples = np.asarray(cnn_predict(pe_model, pe_state, wf_in,
                                          use_ema=pe_use_ema))
         samples_raw = samples
-        if (cfg.pe_debias > 0 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
+        if cfg.select_route == "elbo":
+            from gennet_tpu.eval import posterior_post as pp
+
+            cnn = lambda w: cnn_predict(pe_model, pe_state, w,
+                                        use_ema=pe_use_ema)
+            key, ks = jax.random.split(key)
+            route, samples, scores = pp.select_route(
+                samples, synth, cnn, measured, cfg.n_sig, ks,
+                temper=(cfg.reweight_temper if cfg.reweight_temper > 0
+                        else 1.0))
+            print(f"auto route: {route} (ELBO {scores[route]:.1f})")
+        elif (cfg.pe_debias > 0 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
                 or cfg.reweight_temper > 0):
             from gennet_tpu.eval import posterior_post as pp
 

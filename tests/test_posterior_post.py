@@ -254,3 +254,27 @@ def test_elbo_ranking_tracks_grid_overlap_on_burst_geometry():
     d2 = sum((ov_rank[k] - el_rank[k]) ** 2 for k in names)
     rho = 1.0 - 6.0 * d2 / (n * (n**2 - 1))
     assert rho > 0.7, (rho, overlaps, elbos)
+
+
+def test_select_route_picks_an_improving_route_for_biased_cloud():
+    # A tau-biased, grid-scale cloud on a real sine-Gaussian event: the
+    # auto-selected route must not be 'raw' and the returned cloud's center
+    # must be closer to the true parameters than the raw cloud's.
+    import jax
+
+    n_sig = 0.05
+    rng = np.random.default_rng(2)
+    truth = np.array([0.125, 0.03])
+    measured = np.asarray(SYNTH(jnp.asarray(truth[None, :]))[0]) \
+        + n_sig * rng.normal(size=N_PIX)
+    est = moment_estimator([0.0, 0.0])
+    cloud = truth[None, :] + np.array([0.0, 0.008]) \
+        + rng.normal(0, [0.002, 0.003], (256, 2))
+    route, out, scores = pp.select_route(cloud, SYNTH, est, measured, n_sig,
+                                         jax.random.PRNGKey(0))
+    assert set(scores) == {"raw", "bootcal", "mlrc", "mlrc_bootcal",
+                           "reweight", "mlrc_reweight"}
+    assert route != "raw", scores
+    err_raw = np.abs(cloud.mean(0) - truth)
+    err_out = np.abs(out.mean(0) - truth)
+    assert err_out[1] < err_raw[1], (err_raw, err_out, route, scores)
