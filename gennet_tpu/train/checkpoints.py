@@ -59,7 +59,7 @@ class CheckpointManager:
         except Exception as e:
             import dataclasses
 
-            raw = self._mgr.restore(step)
+            raw = self._restore_numpy(step)
             raw_state = raw.get("state") if isinstance(raw, dict) else None
             if dataclasses.is_dataclass(abstract_state) and isinstance(raw_state, dict):
                 fields = {f.name for f in dataclasses.fields(abstract_state)}
@@ -70,6 +70,31 @@ class CheckpointManager:
                       "Inference OK; do not resume training from this state.")
                 return abstract_state.replace(**known), raw.get("extra")
             raise
+
+    def _restore_numpy(self, step: int):
+        """Structure-free restore as host numpy arrays.
+
+        A bare ``restore(step)`` re-applies the shardings recorded at save
+        time, so a checkpoint written on a TPU cannot be opened on a CPU
+        host (observed: offline analysis of out/bbh_r2 raised "Device TPU
+        v5 lite0 was not found"). Restoring every leaf as np.ndarray is
+        backend-free; callers re-device the merged state lazily."""
+        import jax
+
+        import jax
+
+        meta = self._mgr.item_metadata(step)
+
+        def to_np_template(m):
+            shape = getattr(m, "shape", None)
+            dtype = getattr(m, "dtype", None)
+            if shape is None or dtype is None:
+                return m  # non-array leaf (scalar metadata): pass through
+            return np.empty(shape, dtype)
+
+        template = jax.tree_util.tree_map(to_np_template, meta)
+        return self._mgr.restore(step,
+                                 args=ocp.args.StandardRestore(template))
 
     def close(self):
         self._mgr.close()

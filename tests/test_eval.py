@@ -232,3 +232,39 @@ def test_grid_moments_match_sampling():
     mx, my, sx, sy = gp.grid_moments(L.T, gx, gy)  # (y, x) convention
     assert abs(mx - 0.2) < 1e-3 and abs(my - 1.3) < 1e-2
     assert abs(sx - 0.1) < 1e-3 and abs(sy - 0.3) < 1e-2
+
+
+def test_checkpoint_legacy_layout_restores_via_numpy_fallback(tmp_path):
+    # A checkpoint saved with FEWER fields than today's state dataclass
+    # (e.g. CNNState gained `ema` in r3) must still restore: known fields
+    # merge, new fields keep their fresh values — and the fallback must
+    # restore leaves as host numpy, never with the shardings recorded at
+    # save time (a TPU-written checkpoint opened on a CPU host raised
+    # "Device TPU v5 lite0 was not found" before this path existed).
+    from flax import struct
+
+    from gennet_tpu.train.checkpoints import CheckpointManager
+
+    @struct.dataclass
+    class Legacy:
+        a: np.ndarray
+        b: np.ndarray
+
+    @struct.dataclass
+    class Current:
+        a: np.ndarray
+        b: np.ndarray
+        ema: np.ndarray  # new field the checkpoint predates
+
+    old = Legacy(a=np.arange(4.0), b=np.ones((2, 2)))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, old)
+    mgr.close()
+
+    fresh = Current(a=np.zeros(4), b=np.zeros((2, 2)), ema=np.full(4, 7.0))
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    restored, _ = mgr2.restore(fresh)
+    np.testing.assert_array_equal(np.asarray(restored.a), old.a)
+    np.testing.assert_array_equal(np.asarray(restored.b), old.b)
+    np.testing.assert_array_equal(np.asarray(restored.ema), fresh.ema)
+    mgr2.close()
