@@ -235,8 +235,73 @@ def main(argv=None):
         pe_state, _ = CheckpointManager(f"{cfg.out_dir}/ckpt_pe").restore(pe_state)
         wf = sample_generator(G, gan_state, jax.random.PRNGKey(cfg.seed), args.n_samples, gan_cfg)
         samples = np.asarray(cnn_predict(pe, pe_state, wf))
+        extra = {}
+        if (cfg.select_route == "elbo" or cfg.pe_debias > 0
+                or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
+                or cfg.reweight_temper > 0):
+            # truth-free calibration of the product cloud (same stack as
+            # run_bbh's eval path) — rebuild the measured event exactly as
+            # the training run saw it
+            import jax.numpy as jnp
+
+            from gennet_tpu.data import template_bank as tb
+            from gennet_tpu.eval import posterior_post as pp
+            from gennet_tpu.physics import priors
+            from gennet_tpu.physics import psd as psd_mod
+
+            bank_cfg = tb.BankConfig()
+            if cfg.lalinf_dir:
+                from gennet_tpu.data import lalinf_io
+
+                prod = lalinf_io.load_event_products(
+                    cfg.lalinf_dir, fs=bank_cfg.fs,
+                    T_safe=bank_cfg.T_obs * bank_cfg.safe)
+                psd, measured = prod["psd"], jnp.asarray(prod["measured_whitened"])
+                norm = float(prod["norm_constant"])
+            else:
+                psd = psd_mod.analytic_advligo_psd(
+                    bank_cfg.fs, bank_cfg.T_obs * bank_cfg.safe)
+                k_ev, _ = jax.random.split(jax.random.PRNGKey(cfg.seed))
+                _, measured, norm = tb.make_event(k_ev, psd, bank_cfg)
+                norm = float(norm)
+
+            def synth(sm):
+                sm = jnp.asarray(sm)
+                mc = jnp.clip(sm[:, 0], 5.0, 60.0)
+                q = jnp.clip(sm[:, 1], 0.2, 1.0)
+                m1s, m2s = priors.mc_q_to_m1m2(mc, q)
+                return tb.make_templates_from_params(m1s, m2s, psd, bank_cfg,
+                                                     norm)
+
+            cnn = lambda w: cnn_predict(pe, pe_state, w)
+            key = jax.random.PRNGKey(cfg.seed + 7)
+            if cfg.select_route == "elbo":
+                route, samples, scores = pp.select_route(
+                    samples, synth, cnn, measured, cfg.n_sig, key,
+                    temper=(cfg.reweight_temper if cfg.reweight_temper > 0
+                            else 1.0))
+                extra["route"] = route
+            else:
+                if cfg.pe_debias > 0:
+                    key, kd = jax.random.split(key)
+                    samples = pp.self_calibrate(samples, synth, cnn, kd,
+                                                cfg.n_sig,
+                                                rounds=cfg.pe_debias)
+                if cfg.pe_bootcal > 0:
+                    key, kb = jax.random.split(key)
+                    samples = pp.bootstrap_calibrate(samples, synth, cnn,
+                                                     kb, cfg.n_sig)
+                if cfg.pe_mlrc > 0:
+                    key, km = jax.random.split(key)
+                    samples = pp.ml_recenter(samples, synth, measured, km)
+                if cfg.reweight_temper > 0:
+                    key, kr = jax.random.split(key)
+                    samples = pp.likelihood_resample(
+                        samples, synth, measured, cfg.n_sig, kr,
+                        temper=cfg.reweight_temper)
         np.savez_compressed(args.out, samples=samples, waveforms=np.asarray(wf))
-        print(json.dumps({"samples": int(samples.shape[0]), "file": args.out}))
+        print(json.dumps({"samples": int(samples.shape[0]),
+                          "file": args.out, **extra}))
         return
 
 
