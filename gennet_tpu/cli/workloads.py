@@ -464,6 +464,11 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                 key, sub = jax.random.split(key)
                 eval_states = list(snapshots) or [gan_state]
                 wf, samples = draw_posterior(eval_states, sub)
+                # persist the cloud (flagship parity): offline postproc /
+                # rescue tooling scores saved clouds without retraining
+                save_posterior_snapshot(
+                    os.path.join(cfg.out_dir, "GAN_posterior_samples"),
+                    i, np.asarray(samples))
                 # cloud diagnostics vs the exact grid: bias (mean offset in
                 # exact-σ units) and dispersion ratio per parameter — these
                 # separate "biased cloud" from "collapsed/over-dispersed cloud"
@@ -560,6 +565,9 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             if final_states[-1] is not gan_state:
                 final_states.append(gan_state)
         wf, samples = draw_posterior(final_states, sub)
+        save_posterior_snapshot(
+            os.path.join(cfg.out_dir, "GAN_posterior_samples"),
+            cfg.gan_iters + 1, np.asarray(samples))  # +1 = the final cloud
         if samples[:, 0].var() > 0 and samples[:, 1].var() > 0:
             final_score = gp.grid_overlap_score(samples, np.asarray(L), gx, gy)
         log.log(cfg.gan_iters, {"grid_overlap_final": final_score})
