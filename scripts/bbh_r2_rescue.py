@@ -47,10 +47,18 @@ from gennet_tpu.physics import priors
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "out/bbh_r2"
-    # r2-era flagship configuration (the run predates config.json persistence):
-    # reference defaults — batch 8 PE, no EMA/decay, seed 0
-    cfg = BBHConfig(pe_batch_size=8, pe_ema_decay=0.0, pe_lr_decay=False,
-                    out_dir=out_dir)
+    cfg_path = os.path.join(out_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            saved = json.load(f)
+        known = {k: v for k, v in saved.items()
+                 if k in BBHConfig.__dataclass_fields__}
+        cfg = BBHConfig(**{**known, "out_dir": out_dir})
+    else:
+        # r2-era flagship configuration (predates config.json persistence):
+        # reference defaults — batch 8 PE, no EMA/decay, seed 0
+        cfg = BBHConfig(pe_batch_size=8, pe_ema_decay=0.0, pe_lr_decay=False,
+                        out_dir=out_dir)
     key = jax.random.PRNGKey(cfg.seed)
     (bank, targets, signal, measured, norm, psd, truth,
      lalinf_samples, key) = _prepare_bbh_data(cfg, key)
@@ -62,7 +70,10 @@ def main():
     ref_samples = gp.sample_grid_posterior(*grid, 3907, seed=cfg.seed)
 
     pe_cfg = CNNConfig(n_pix=cfg.n_pix, batch_size=cfg.pe_batch_size,
-                       lr=cfg.lr, noise_frac=cfg.cnn_noise_frac)
+                       lr=cfg.lr, noise_frac=cfg.cnn_noise_frac,
+                       ema_decay=cfg.pe_ema_decay,
+                       lr_decay_steps=(cfg.pe_iters if cfg.pe_lr_decay
+                                       else 0))
     pe_model = DualBranchPE()
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
     restored, _ = CheckpointManager(os.path.join(out_dir, "ckpt_pe"),
@@ -70,6 +81,7 @@ def main():
     if restored is None:
         sys.exit(f"no CNN checkpoint under {out_dir}/ckpt_pe")
     pe_state = restored
+    pe_use_ema = cfg.pe_ema_decay > 0
 
     def synth(sm):
         sm = jnp.asarray(sm)
@@ -78,7 +90,7 @@ def main():
         m1s, m2s = priors.mc_q_to_m1m2(mc, q)
         return tb.make_templates_from_params(m1s, m2s, psd, bank_cfg, norm)
 
-    cnn = lambda w: cnn_predict(pe_model, pe_state, w)
+    cnn = lambda w: cnn_predict(pe_model, pe_state, w, use_ema=pe_use_ema)
 
     def score(s):
         if s[:, 0].var() <= 0 or s[:, 1].var() <= 0:
