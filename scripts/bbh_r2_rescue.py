@@ -93,7 +93,10 @@ def main():
     cnn = lambda w: cnn_predict(pe_model, pe_state, w, use_ema=pe_use_ema)
 
     def score(s):
-        if s[:, 0].var() <= 0 or s[:, 1].var() <= 0:
+        # non-finite clouds (a NaN-poisoned eval snapshot) and degenerate
+        # clouds score 0, not NaN — NaN would survive the var<=0 guard
+        # (NaN comparisons are False) and emit invalid JSON
+        if not np.isfinite(s).all() or s[:, 0].var() <= 0 or s[:, 1].var() <= 0:
             return 0.0, 0.0
         return (ov.beta_overlap(s, ref_samples),
                 gp.grid_overlap_score(s, *grid))
