@@ -233,37 +233,28 @@ def main(argv=None):
         pe = DualBranchPE()
         pe_state = init_cnn(jax.random.PRNGKey(1), pe, pe_cfg)
         pe_state, _ = CheckpointManager(f"{cfg.out_dir}/ckpt_pe").restore(pe_state)
+        use_ema = cfg.pe_ema_decay > 0  # match the training run's eval path
         wf = sample_generator(G, gan_state, jax.random.PRNGKey(cfg.seed), args.n_samples, gan_cfg)
-        samples = np.asarray(cnn_predict(pe, pe_state, wf))
+        samples = np.asarray(cnn_predict(pe, pe_state, wf, use_ema=use_ema))
         extra = {}
+        resampled = False
         if (cfg.select_route == "elbo" or cfg.pe_debias > 0
                 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
                 or cfg.reweight_temper > 0):
             # truth-free calibration of the product cloud (same stack as
-            # run_bbh's eval path) — rebuild the measured event exactly as
-            # the training run saw it
+            # run_bbh's eval path) — the event rebuild is shared with the
+            # training run (_prepare_bbh_data: same k_ev split), so
+            # `measured` is bit-identical to what training saw
             import jax.numpy as jnp
 
+            from gennet_tpu.cli.workloads import _prepare_bbh_data
             from gennet_tpu.data import template_bank as tb
             from gennet_tpu.eval import posterior_post as pp
             from gennet_tpu.physics import priors
-            from gennet_tpu.physics import psd as psd_mod
 
+            (_, _, _, measured, norm, psd, _, _, _) = _prepare_bbh_data(
+                cfg, jax.random.PRNGKey(cfg.seed), skip_bank=True)
             bank_cfg = tb.BankConfig()
-            if cfg.lalinf_dir:
-                from gennet_tpu.data import lalinf_io
-
-                prod = lalinf_io.load_event_products(
-                    cfg.lalinf_dir, fs=bank_cfg.fs,
-                    T_safe=bank_cfg.T_obs * bank_cfg.safe)
-                psd, measured = prod["psd"], jnp.asarray(prod["measured_whitened"])
-                norm = float(prod["norm_constant"])
-            else:
-                psd = psd_mod.analytic_advligo_psd(
-                    bank_cfg.fs, bank_cfg.T_obs * bank_cfg.safe)
-                k_ev, _ = jax.random.split(jax.random.PRNGKey(cfg.seed))
-                _, measured, norm = tb.make_event(k_ev, psd, bank_cfg)
-                norm = float(norm)
 
             def synth(sm):
                 sm = jnp.asarray(sm)
@@ -273,7 +264,7 @@ def main(argv=None):
                 return tb.make_templates_from_params(m1s, m2s, psd, bank_cfg,
                                                      norm)
 
-            cnn = lambda w: cnn_predict(pe, pe_state, w)
+            cnn = lambda w: cnn_predict(pe, pe_state, w, use_ema=use_ema)
             key = jax.random.PRNGKey(cfg.seed + 7)
             if cfg.select_route == "elbo":
                 route, samples, scores = pp.select_route(
@@ -281,6 +272,7 @@ def main(argv=None):
                     temper=(cfg.reweight_temper if cfg.reweight_temper > 0
                             else 1.0))
                 extra["route"] = route
+                resampled = route.endswith("reweight")
             else:
                 if cfg.pe_debias > 0:
                     key, kd = jax.random.split(key)
@@ -299,9 +291,16 @@ def main(argv=None):
                     samples = pp.likelihood_resample(
                         samples, synth, measured, cfg.n_sig, kr,
                         temper=cfg.reweight_temper)
-        np.savez_compressed(args.out, samples=samples, waveforms=np.asarray(wf))
+                    resampled = True
+        # resampling reorders/duplicates cloud rows, so samples[i] no longer
+        # pairs with wf[i] — store the draws under a different key then so
+        # consumers cannot silently mis-pair rows
+        wf_key = "waveforms_unpaired" if resampled else "waveforms"
+        np.savez_compressed(args.out, samples=samples,
+                            **{wf_key: np.asarray(wf)})
         print(json.dumps({"samples": int(samples.shape[0]),
-                          "file": args.out, **extra}))
+                          "file": args.out,
+                          "waveforms_key": wf_key, **extra}))
         return
 
 

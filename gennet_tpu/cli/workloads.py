@@ -377,6 +377,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             wf_in = wf + cfg.posterior_noise * cfg.n_sig * jax.random.normal(
                 kn, wf.shape, wf.dtype)
         samples = np.asarray(cnn_predict(pe_model, pe_state, normalize_max(wf_in, pe_cfg)))
+        route_elbo = None  # select_route's score for the returned cloud
         if cfg.select_route == "elbo":
             from gennet_tpu.eval import posterior_post as pp
 
@@ -388,7 +389,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                 samples, synth, cnn, measured, cfg.n_sig, ks,
                 temper=(cfg.reweight_temper if cfg.reweight_temper > 0
                         else 1.0))
-            print(f"auto route: {route} (ELBO {scores[route]:.1f})")
+            route_elbo = scores[route]
+            print(f"auto route: {route} (ELBO {route_elbo:.1f})")
         elif (cfg.pe_debias > 0 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
                 or cfg.reweight_temper > 0):
             from gennet_tpu.eval import posterior_post as pp
@@ -415,7 +417,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                                                  cfg.n_sig, kr,
                                                  temper=cfg.reweight_temper)
                 print(f"likelihood resample ESS: {ess:.1f}/{len(samples)}")
-        return wf, samples
+        return wf, samples, route_elbo
 
     from gennet_tpu.train.gan import knobs_from_cfg
 
@@ -446,6 +448,15 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                                  G, D, gan_cfg)
             snapshots.clear()
             n_cad = 0
+            # the on-disk cloud history must stay a SINGLE trajectory:
+            # clear the abandoned attempt's snapshots so offline tooling
+            # never mixes clouds from different generator inits
+            import glob as _glob
+
+            for p in _glob.glob(os.path.join(
+                    cfg.out_dir, "GAN_posterior_samples",
+                    "posterior_samples_*.npz")):
+                os.remove(p)
         for i0 in range(0, cfg.gan_iters, chunk):
             key, sub = jax.random.split(key)
             knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
@@ -463,7 +474,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                     continue
                 key, sub = jax.random.split(key)
                 eval_states = list(snapshots) or [gan_state]
-                wf, samples = draw_posterior(eval_states, sub)
+                wf, samples, route_elbo = draw_posterior(eval_states, sub)
                 # persist the cloud (flagship parity): offline postproc /
                 # rescue tooling scores saved clouds without retraining
                 save_posterior_snapshot(
@@ -497,14 +508,16 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                         best_score, best_state = score, gan_state
                     if cfg.select_best == "elbo":
                         # inside the degeneracy guard: a collapsed cloud
-                        # must never be selectable
+                        # must never be selectable. Reuse select_route's
+                        # score when it already ranked this exact cloud.
                         from gennet_tpu.eval import posterior_post as pp
 
-                        elbo = pp.elbo_score(
-                            samples,
-                            lambda s: sine_gaussian(s[:, 0], s[:, 1],
-                                                    N=cfg.n_pix),
-                            measured, cfg.n_sig)
+                        elbo = route_elbo if route_elbo is not None else \
+                            pp.elbo_score(
+                                samples,
+                                lambda s: sine_gaussian(s[:, 0], s[:, 1],
+                                                        N=cfg.n_pix),
+                                measured, cfg.n_sig)
                         if np.isfinite(elbo):
                             diag["elbo"] = elbo
                         print(f"cloud ELBO: {elbo:.1f}")
@@ -564,7 +577,7 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             final_states = list(snapshots) or [gan_state]
             if final_states[-1] is not gan_state:
                 final_states.append(gan_state)
-        wf, samples = draw_posterior(final_states, sub)
+        wf, samples, _ = draw_posterior(final_states, sub)
         save_posterior_snapshot(
             os.path.join(cfg.out_dir, "GAN_posterior_samples"),
             cfg.gan_iters + 1, np.asarray(samples))  # +1 = the final cloud
@@ -984,8 +997,12 @@ class BBHConfig:
     bank_file: str | None = None        # pre-built bank npz (optional)
 
 
-def _prepare_bbh_data(cfg: BBHConfig, key):
-    """Bank + event + (optional) lalinference posterior, all device-resident."""
+def _prepare_bbh_data(cfg: BBHConfig, key, skip_bank: bool = False):
+    """Bank + event + (optional) lalinference posterior, all device-resident.
+
+    ``skip_bank=True`` returns bank=targets=None (event/psd/norm only) for
+    eval-time callers; the event's k_ev split is unchanged, so ``measured``
+    is bit-identical to the training run's (the returned key may differ)."""
     bank_cfg = tb.BankConfig()
     lalinf_samples = None
 
@@ -1005,7 +1022,13 @@ def _prepare_bbh_data(cfg: BBHConfig, key):
         signal, measured, norm = tb.make_event(k_ev, psd, bank_cfg)
         norm = float(norm)
 
-    if cfg.bank_file:
+    if skip_bank:
+        # eval-only callers (sample-posterior CLI, offline rescue/postproc
+        # scripts) need measured/psd/norm but not the 50k training bank;
+        # the event's k_ev split above is unchanged, so `measured` is
+        # bit-identical to what the training run saw
+        bank = targets = None
+    elif cfg.bank_file:
         if cfg.bank_file.endswith(".gntb"):
             from gennet_tpu.data.bankstore import BankStore
 
@@ -1261,6 +1284,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         samples = np.asarray(cnn_predict(pe_model, pe_state, wf_in,
                                          use_ema=pe_use_ema))
         samples_raw = samples
+        route_elbo = None  # select_route's score for the returned cloud
         if cfg.select_route == "elbo":
             from gennet_tpu.eval import posterior_post as pp
 
@@ -1271,7 +1295,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 samples, synth, cnn, measured, cfg.n_sig, ks,
                 temper=(cfg.reweight_temper if cfg.reweight_temper > 0
                         else 1.0))
-            print(f"auto route: {route} (ELBO {scores[route]:.1f})")
+            route_elbo = scores[route]
+            print(f"auto route: {route} (ELBO {route_elbo:.1f})")
         elif (cfg.pe_debias > 0 or cfg.pe_bootcal > 0 or cfg.pe_mlrc > 0
                 or cfg.reweight_temper > 0):
             from gennet_tpu.eval import posterior_post as pp
@@ -1296,11 +1321,11 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                                                  cfg.n_sig, kr,
                                                  temper=cfg.reweight_temper)
                 print(f"likelihood resample ESS: {ess:.1f}/{len(samples)}")
-        return wf, samples, samples_raw
+        return wf, samples, samples_raw, route_elbo
 
     def eval_posterior(states, key, step, tag=None):
         """Expensive eval path: posterior draw → CNN → β/grid/whiteness."""
-        wf, samples, samples_raw = draw_posterior(states, key)
+        wf, samples, samples_raw, route_elbo = draw_posterior(states, key)
         if samples_raw is not samples and ref_samples is not None:
             # post-processing active: keep the untransformed cloud's score
             # in the log so the raw-vs-calibrated gap stays measured
@@ -1345,10 +1370,12 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         if (cfg.select_best == "elbo" and samples[:, 0].var() > 0
                 and samples[:, 1].var() > 0):
             # inside the degeneracy guard: a collapsed cloud must never be
-            # selectable; non-finite scores stay out of the jsonl log
+            # selectable; non-finite scores stay out of the jsonl log.
+            # Reuse select_route's score when it ranked this exact cloud.
             from gennet_tpu.eval import posterior_post as pp
 
-            elbo = pp.elbo_score(samples, synth, measured, cfg.n_sig)
+            elbo = route_elbo if route_elbo is not None else \
+                pp.elbo_score(samples, synth, measured, cfg.n_sig)
             print(f"cloud ELBO: {elbo:.1f}")
             if np.isfinite(elbo):
                 out["elbo"] = elbo

@@ -81,8 +81,6 @@ class CheckpointManager:
         backend-free; callers re-device the merged state lazily."""
         import jax
 
-        import jax
-
         meta = self._mgr.item_metadata(step)
 
         def to_np_template(m):

@@ -64,8 +64,9 @@ def main():
                    cfg.grid_grain)
         if ctx_key not in ctx_cache:
             key = jax.random.PRNGKey(cfg.seed)
-            (bank, targets, signal, measured, norm, psd, truth,
-             lalinf_samples, key) = _prepare_bbh_data(cfg, key)
+            (_, _, signal, measured, norm, psd, truth,
+             lalinf_samples, key) = _prepare_bbh_data(cfg, key,
+                                                      skip_bank=True)
             bank_cfg = tb.BankConfig()
             sigma_eff = float(np.std(np.asarray(measured) - np.asarray(signal)))
             Lg, gmc, gq = gp.bbh_grid_posterior(measured, psd, bank_cfg,

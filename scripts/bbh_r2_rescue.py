@@ -38,7 +38,7 @@ from gennet_tpu.data import template_bank as tb
 from gennet_tpu.eval import grid_posterior as gp
 from gennet_tpu.eval import overlap as ov
 from gennet_tpu.eval import posterior_post as pp
-from gennet_tpu.models import DualBranchPE
+from gennet_tpu.models import CombinedPE, DualBranchPE
 from gennet_tpu.train import CNNConfig, init_cnn
 from gennet_tpu.train.checkpoints import CheckpointManager
 from gennet_tpu.train.cnn import predict as cnn_predict
@@ -60,8 +60,8 @@ def main():
         cfg = BBHConfig(pe_batch_size=8, pe_ema_decay=0.0, pe_lr_decay=False,
                         out_dir=out_dir)
     key = jax.random.PRNGKey(cfg.seed)
-    (bank, targets, signal, measured, norm, psd, truth,
-     lalinf_samples, key) = _prepare_bbh_data(cfg, key)
+    (_, _, signal, measured, norm, psd, truth,
+     lalinf_samples, key) = _prepare_bbh_data(cfg, key, skip_bank=True)
     bank_cfg = tb.BankConfig()
     sigma_eff = float(np.std(np.asarray(measured) - np.asarray(signal)))
     Lg, gmc, gq = gp.bbh_grid_posterior(measured, psd, bank_cfg, norm,
@@ -74,7 +74,7 @@ def main():
                        ema_decay=cfg.pe_ema_decay,
                        lr_decay_steps=(cfg.pe_iters if cfg.pe_lr_decay
                                        else 0))
-    pe_model = DualBranchPE()
+    pe_model = CombinedPE() if cfg.comb_pe_model else DualBranchPE()
     pe_state = init_cnn(jax.random.PRNGKey(cfg.seed + 1), pe_model, pe_cfg)
     restored, _ = CheckpointManager(os.path.join(out_dir, "ckpt_pe"),
                                     max_to_keep=1).restore(pe_state)
