@@ -166,32 +166,46 @@ def bench_gan_step():
 
 
 def main():
-    # Pre-flight BEFORE any backend init in this process: the probe runs in
-    # a fresh subprocess, so a wedged tunnel is detected (and ridden out for
-    # up to 10 min) without this process becoming a stuck client itself.
-    from gennet_tpu.runtime.health import wait_device_healthy
-
-    wait_device_healthy(max_wait=600, log=lambda m: print(f"[bench] {m}",
-                                                          flush=True))
-
-    from gennet_tpu import runtime
-
-    runtime.setup()
-
-    gan = bench_gan_step()
-    rate, flops_per_template = bench_bank()
-
+    # The contract with the driver: this process ALWAYS ends by printing
+    # exactly one JSON line, even when the device is sick or a bench stage
+    # throws — a missing/null parse is strictly worse than an error row.
     row = {
         "metric": "whitened_templates_per_sec",
-        "value": round(rate, 1),
+        "value": 0.0,
         "unit": "templates/s",
-        "vs_baseline": round(rate / TARGET, 4),
+        "vs_baseline": 0.0,
     }
-    if flops_per_template:
-        row["bank_flops_per_template"] = round(flops_per_template)
-        row["bank_achieved_tflops"] = round(rate * flops_per_template / 1e12, 3)
-    row.update(gan)
-    print(json.dumps(row))
+    try:
+        # Pre-flight BEFORE any backend init in this process: the probe runs
+        # in a fresh subprocess, so a wedged tunnel is detected without this
+        # process becoming a stuck client itself. Fail FAST (<=120 s): the
+        # driver's window is finite and an unhealthy device will not recover
+        # inside it — emit the error row and exit instead of riding the wedge.
+        from gennet_tpu.runtime.health import wait_device_healthy
+
+        if not wait_device_healthy(max_wait=120,
+                                   log=lambda m: print(f"[bench] {m}",
+                                                       flush=True)):
+            row["error"] = "device unhealthy (probe failed for 120s)"
+            print(json.dumps(row), flush=True)
+            return
+
+        from gennet_tpu import runtime
+
+        runtime.setup()
+
+        gan = bench_gan_step()
+        rate, flops_per_template = bench_bank()
+
+        row["value"] = round(rate, 1)
+        row["vs_baseline"] = round(rate / TARGET, 4)
+        if flops_per_template:
+            row["bank_flops_per_template"] = round(flops_per_template)
+            row["bank_achieved_tflops"] = round(rate * flops_per_template / 1e12, 3)
+        row.update(gan)
+    except BaseException as e:  # noqa: BLE001 — the JSON line must land
+        row["error"] = f"{type(e).__name__}: {e}"[:500]
+    print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
