@@ -65,10 +65,16 @@ def _phasor_bwd(bm, bk, bt, interpret, res, g):
     amp, phase, cos_t, sin_t = res
     gc = g @ cos_t.T
     gs = g @ sin_t.T
+    re = amp * jnp.cos(phase)
+    im = amp * jnp.sin(phase)
     d_amp = jnp.cos(phase) * gc + jnp.sin(phase) * gs
-    d_phase = amp * (jnp.cos(phase) * gs - jnp.sin(phase) * gc)
-    return (d_amp.astype(amp.dtype), d_phase.astype(phase.dtype),
-            jnp.zeros_like(cos_t), jnp.zeros_like(sin_t))
+    d_phase = im * (-gc) + re * gs
+    # True table cotangents (∂out/∂C[k,t] = Σ_b re[b,k]·g[b,t]); the tables
+    # are constants in every current caller, but a zero cotangent would be
+    # silently wrong for any future caller differentiating w.r.t. them.
+    d_cos = (re.T @ g).astype(cos_t.dtype)
+    d_sin = (im.T @ g).astype(sin_t.dtype)
+    return (d_amp.astype(amp.dtype), d_phase.astype(phase.dtype), d_cos, d_sin)
 
 
 _phasor_matmul_prim.defvjp(_phasor_fwd, _phasor_bwd)

@@ -65,6 +65,20 @@ class CheckpointManager:
                 fields = {f.name for f in dataclasses.fields(abstract_state)}
                 known = {k: v for k, v in raw_state.items() if k in fields}
                 missing = fields - set(raw_state)
+                if not missing:
+                    # The checkpoint is NOT structurally older than the
+                    # template — the original failure was something else
+                    # (I/O, sharding, corruption). Surface it rather than
+                    # silently returning a partially-fresh state.
+                    raise
+                # A pre-EMA (r2-era) CNNState restores with ema fresh-random,
+                # but BBHConfig defaults pe_ema_decay=0.999 so eval paths call
+                # predict(use_ema=True) — graft ema from the restored params
+                # so EMA inference degrades to plain-params inference instead
+                # of evaluating random weights.
+                if "ema" in missing and "params" in known:
+                    known["ema"] = known["params"]
+                    missing = missing - {"ema"}
                 print(f"checkpoint restore: legacy layout ({e.__class__.__name__}); "
                       f"merged fields {sorted(known)}; kept fresh: {sorted(missing)}. "
                       "Inference OK; do not resume training from this state.")

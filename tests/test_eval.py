@@ -268,3 +268,78 @@ def test_checkpoint_legacy_layout_restores_via_numpy_fallback(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.b), old.b)
     np.testing.assert_array_equal(np.asarray(restored.ema), fresh.ema)
     mgr2.close()
+
+
+def test_checkpoint_legacy_grafts_ema_from_params(tmp_path):
+    # When the missing field is `ema` AND the legacy state carries `params`
+    # (the real CNNState case), the fallback must graft ema := params so
+    # default-config eval paths (predict(use_ema=True), pe_ema_decay=0.999)
+    # evaluate the restored weights, not the fresh-random EMA init.
+    from flax import struct
+
+    from gennet_tpu.train.checkpoints import CheckpointManager
+
+    @struct.dataclass
+    class LegacyCNN:
+        params: np.ndarray
+        step: np.ndarray
+
+    @struct.dataclass
+    class CurrentCNN:
+        params: np.ndarray
+        step: np.ndarray
+        ema: np.ndarray
+
+    old = LegacyCNN(params=np.arange(6.0), step=np.asarray(5))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, old)
+    mgr.close()
+
+    fresh = CurrentCNN(params=np.zeros(6), step=np.asarray(0),
+                       ema=np.full(6, -1.0))
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    restored, _ = mgr2.restore(fresh)
+    np.testing.assert_array_equal(np.asarray(restored.params), old.params)
+    np.testing.assert_array_equal(np.asarray(restored.ema), old.params)
+    mgr2.close()
+
+
+def test_checkpoint_same_layout_failure_reraises(tmp_path, monkeypatch):
+    # A restore failure with NO structural mismatch (same field set) must
+    # re-raise the original error instead of silently returning a
+    # partially-fresh state through the numpy field-merge path.
+    from flax import struct
+
+    import gennet_tpu.train.checkpoints as ckpt_mod
+    from gennet_tpu.train.checkpoints import CheckpointManager
+
+    @struct.dataclass
+    class State:
+        a: np.ndarray
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, State(a=np.arange(3.0)))
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    boom = RuntimeError("transient I/O failure")
+
+    def failing_restore(step, args=None):
+        raise boom
+
+    # Fail the structured restore only; the numpy fallback then sees a
+    # structurally-identical state and must re-raise the original error.
+    orig = mgr2._mgr.restore
+    calls = {"n": 0}
+
+    def restore_once_fails(step, args=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise boom
+        return orig(step, args=args)
+
+    monkeypatch.setattr(mgr2._mgr, "restore", restore_once_fails)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="transient I/O failure"):
+        mgr2.restore(State(a=np.zeros(3)))
+    mgr2.close()

@@ -145,3 +145,62 @@ def test_mdc_render_hrss_and_files(tmp_path):
     assert len(paths) == 4
     t, hh = np.loadtxt(paths[0]).T
     np.testing.assert_allclose(hh, h)
+
+
+# ---- full-fidelity synthetic products (VERDICT r3 #8) ---------------------
+
+@pytest.mark.slow
+def test_synthetic_products_roundtrip(tmp_path):
+    """write_synthetic_products ↔ load_event_products is an exact inverse:
+    the loaded whitened event equals the synthetic path's event template
+    (corr ≈ 1) and the norm constant matches the writer's."""
+    import jax
+
+    from gennet_tpu.data import synth_products as sp
+    from gennet_tpu.data import template_bank as tb
+    from gennet_tpu.physics import psd as psd_mod
+
+    d = str(tmp_path / "prod")
+    out = sp.write_synthetic_products(d, seed=0, n_posterior=200,
+                                      grid_grain=12)
+    prod = lalinf_io.load_event_products(d)
+    assert prod["norm_constant"] == pytest.approx(out["norm_constant"],
+                                                  rel=1e-6)
+    np.testing.assert_allclose(prod["measured_whitened"],
+                               out["measured_whitened"], atol=2e-4)
+    cfg = tb.BankConfig()
+    psd = psd_mod.analytic_advligo_psd(cfg.fs, cfg.T_obs * cfg.safe)
+    tmpl = np.asarray(tb.make_event_template(psd, cfg)) * out["norm_constant"]
+    sig = prod["signal_whitened"]
+    corr = np.dot(tmpl, sig) / np.sqrt(np.dot(tmpl, tmpl) * np.dot(sig, sig))
+    assert corr > 0.9999
+    # posterior HDF5 found, converted, concentrated near the truth
+    post = prod["posterior_mc_q"]
+    assert post.shape == (200, 2)
+    mc_t, q_t = out["truth"]
+    assert abs(np.median(post[:, 0]) - mc_t) < 2.0
+    assert abs(np.median(post[:, 1]) - q_t) < 0.25
+
+
+@pytest.mark.slow
+@pytest.mark.slowest
+def test_train_bbh_lalinf_dir_end_to_end(tmp_path):
+    """The real-data branch of run_bbh, end-to-end on a synthetic product
+    directory in the exact reference layout (ref: gw_template_maker.py
+    :743-795): loader → norm constant → bank normalized by it → CNN/GAN →
+    β vs the mounted posterior (never None)."""
+    from gennet_tpu.cli.workloads import BBHConfig, run_bbh
+    from gennet_tpu.data import synth_products as sp
+
+    d = str(tmp_path / "prod")
+    sp.write_synthetic_products(d, seed=0, n_posterior=300, grid_grain=12)
+    cfg = BBHConfig(
+        lalinf_dir=d, training_num=24, pe_iters=40, gan_iters=2,
+        cadence=1, eval_cadence=1, pe_cadence=50, n_posterior=8,
+        grid_grain=11, ckpt_every=1000, plots=False,
+        out_dir=str(tmp_path / "run"),
+    )
+    out = run_bbh(cfg)
+    # β scored against the mounted ("lalinference") cloud
+    assert out["beta"] is not None and 0.0 <= out["beta"] <= 1.0
+    assert out["cnn_sanity_beta"] is not None

@@ -44,6 +44,20 @@ def test_phasor_matmul_grad_matches_dense():
     np.testing.assert_allclose(np.asarray(gp_k), np.asarray(gp_d),
                                rtol=2e-3, atol=2e-3)
 
+    # table cotangents: the tables are constants in current callers, but a
+    # zero cotangent would be silently wrong for any future differentiation
+    # w.r.t. them (ADVICE r3)
+    lossC_k = lambda c, s: jnp.sum(
+        w * phasor_matmul(amp, ph, c, s, bm=8, bk=128, bt=128, interpret=True))
+    lossC_d = lambda c, s: jnp.sum(
+        w * ((amp * jnp.cos(ph)) @ c + (amp * jnp.sin(ph)) @ s))
+    gc_k, gs_k = jax.grad(lossC_k, argnums=(0, 1))(C, S)
+    gc_d, gs_d = jax.grad(lossC_d, argnums=(0, 1))(C, S)
+    np.testing.assert_allclose(np.asarray(gc_k), np.asarray(gc_d),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gs_k), np.asarray(gs_d),
+                               rtol=2e-3, atol=2e-3)
+
 
 def test_phasor_irdft_slice_matches_xla_path():
     rng = np.random.default_rng(1)

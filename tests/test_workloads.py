@@ -86,3 +86,19 @@ def test_image_gan_tiny(tmp_path):
     assert out["n_images"] == 32  # 16 fixtures x flip
     assert np.isfinite(out["gan_d_loss"]) and np.isfinite(out["gan_g_loss"])
     assert -1.0 <= out["recovery_corr"] <= 1.0
+
+
+def test_freeze_on_res_requires_white_gate(tmp_path):
+    """freeze_on_res is only checked inside the whiteness gate; a res-only
+    config silently never fires, so it must be rejected (ADVICE r3)."""
+    import pytest
+
+    from gennet_tpu.cli.workloads import (BBHConfig, BurstSmokeConfig,
+                                          run_bbh, run_burst_smoke)
+
+    with pytest.raises(ValueError, match="freeze_on_res"):
+        run_bbh(BBHConfig(freeze_on_res=1e-5, freeze_on_white=0.0,
+                          out_dir=str(tmp_path / "b")))
+    with pytest.raises(ValueError, match="freeze_on_res"):
+        run_burst_smoke(BurstSmokeConfig(freeze_on_res=1e-5, freeze_on_white=0.0,
+                                    out_dir=str(tmp_path / "s")))
