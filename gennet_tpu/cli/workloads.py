@@ -236,6 +236,11 @@ class BurstSmokeConfig:
                                       # still log at every cadence; same
                                       # split the flagship's eval_cadence
                                       # provides, ref did everything at :854)
+    debug_probes: bool = False        # per-term GAN-step health metrics
+                                      # (grad norms per route, logit
+                                      # extremes, BN-var min) in the metrics
+                                      # jsonl — the NaN bisect instrument
+                                      # (train/gan.py)
     out_dir: str = "out/burst"
     seed: int = 0
     plots: bool = True
@@ -251,6 +256,11 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
         raise ValueError(f"select_route={cfg.select_route!r}: must be '' or "
                          "'elbo' (a typo would silently fall back to the "
                          "per-knob calibration chain)")
+    if cfg.freeze_on_res > 0 and cfg.freeze_on_white <= 0:
+        raise ValueError(
+            "freeze_on_res > 0 requires freeze_on_white > 0: the res "
+            "criterion is only evaluated inside the whiteness gate, so a "
+            "res-only config would silently never freeze")
     key = jax.random.PRNGKey(cfg.seed)
     k_bank, k_event, k_noise, key = jax.random.split(key, 4)
     os.makedirs(cfg.out_dir, exist_ok=True)
@@ -330,7 +340,8 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                         diversity_weight=cfg.diversity_weight,
                         r1_gamma=cfg.r1_gamma,
                         res_loss_weight=cfg.res_loss_weight,
-                        g_ema_decay=cfg.g_ema_decay)
+                        g_ema_decay=cfg.g_ema_decay,
+                        debug_probes=cfg.debug_probes)
     G = BurstGenerator(n_out=cfg.n_pix)
     D = BurstDiscriminator()
     gan_state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
@@ -946,6 +957,23 @@ class BBHConfig:
                                         # aware, uses only measured data)
     g_ema_decay: float = 0.0            # EMA of G params (see burst note:
                                         # measured harmful at these scales)
+    debug_probes: bool = False          # per-term GAN-step health metrics
+                                        # (grad norms per route, logit
+                                        # extremes, BN-var min) in the
+                                        # metrics jsonl — the NaN bisect
+                                        # instrument (train/gan.py)
+    pair_d: bool = True                 # True = reference subtraction-pair D
+                                        # (ref: bbhMahoGANy.py:1267-1289).
+                                        # False = D judges the waveform
+                                        # channel only and the analytic
+                                        # residual-moment route carries ALL
+                                        # whiteness pressure — the r4 fix for
+                                        # the proven D memorization of the
+                                        # one fixed event-noise realization
+                                        # (scripts/d_memorization_probe.py:
+                                        # a PERFECT generator's pair scores
+                                        # P(real)=0.008; no G can win the
+                                        # pair game). Needs res_loss_weight>0.
     posterior_temp: float = 1.0         # latent temperature for draws
     posterior_noise: float = 0.0        # fresh N(0, this·n_sig) noise on each
                                         # draw before the CNN (parametric
@@ -1070,6 +1098,16 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         raise ValueError(f"select_route={cfg.select_route!r}: must be '' or "
                          "'elbo' (a typo would silently fall back to the "
                          "per-knob calibration chain)")
+    if cfg.freeze_on_res > 0 and cfg.freeze_on_white <= 0:
+        raise ValueError(
+            "freeze_on_res > 0 requires freeze_on_white > 0: the res "
+            "criterion is only evaluated inside the whiteness gate, so a "
+            "res-only config would silently never freeze")
+    if not cfg.pair_d and cfg.res_loss_weight <= 0:
+        raise ValueError(
+            "pair_d=False requires res_loss_weight > 0: without the pair "
+            "channel, the residual-moment route is the only term anchoring "
+            "G to the measured event")
     key = jax.random.PRNGKey(cfg.seed)
     os.makedirs(cfg.out_dir, exist_ok=True)
     # persist the exact run config so post-hoc tools (e.g.
@@ -1208,7 +1246,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     # ---- GAN -------------------------------------------------------------
     inoise = cfg.n_sig if cfg.instance_noise < 0 else cfg.instance_noise
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
-                        chi_loss=cfg.chi_loss, n_sig=cfg.n_sig, pair_discriminator=True,
+                        chi_loss=cfg.chi_loss, n_sig=cfg.n_sig,
+                        pair_discriminator=cfg.pair_d,
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
                         d_lr_scale=cfg.d_lr_scale, d_acc_gate=cfg.d_acc_gate,
                         diversity_weight=cfg.diversity_weight,
@@ -1216,7 +1255,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                         residual_route=cfg.res_loss_weight > 0,
                         res_loss_weight=cfg.res_loss_weight,
                         res_eval_mode=cfg.res_eval_mode,
-                        g_ema_decay=cfg.g_ema_decay)
+                        g_ema_decay=cfg.g_ema_decay,
+                        debug_probes=cfg.debug_probes)
     dt = jnp.bfloat16 if cfg.bf16 else jnp.float32
     G = BBHGenerator(n_out=cfg.n_pix, dtype=dt, conv_impl=cfg.conv_impl,
                      norm=cfg.g_norm)
@@ -1326,6 +1366,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     def eval_posterior(states, key, step, tag=None):
         """Expensive eval path: posterior draw → CNN → β/grid/whiteness."""
         wf, samples, samples_raw, route_elbo = draw_posterior(states, key)
+        raw_row = {}
         if samples_raw is not samples and ref_samples is not None:
             # post-processing active: keep the untransformed cloud's score
             # in the log so the raw-vs-calibrated gap stays measured
@@ -1341,7 +1382,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         ws = whiteness_score(resid, cfg.n_sig)
         w_score = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
         out = {"whiteness": w_score, "ws": ws, "wf": wf, "samples": samples,
-               "beta": None, "grid_overlap": None}
+               "beta": None, "grid_overlap": None, **raw_row}
         if grid is not None:
             # cloud diagnostics vs the exact grid (same fields as the burst
             # workload: bias in exact-σ units, dispersion ratio)
@@ -1462,6 +1503,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     # ---- FINAL-state artifacts (the reference uses the last iteration's
     # state, ref: :1241); best-whiteness state persisted as a diagnostic ----
     whiteness = beta_final = grid_overlap_final = beta_sanity_final = None
+    beta_raw_final = grid_overlap_raw_final = None
     if cfg.gan_iters > start:
         key, sub = jax.random.split(key)
         if cfg.select_best and sel_states is not None:
@@ -1478,6 +1520,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         whiteness, beta_final = ev["ws"], ev["beta"]
         grid_overlap_final = ev["grid_overlap"]
         beta_sanity_final = ev.get("beta_sanity")
+        beta_raw_final = ev.get("beta_raw")
+        grid_overlap_raw_final = ev.get("grid_overlap_raw")
         print(f"final-state residual whiteness: {whiteness}")
         if beta_final is not None:
             print(f"final-state beta: {beta_final:.4f}" +
@@ -1498,6 +1542,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     log.close()
     return {
         "beta": beta_final,
+        "beta_raw": beta_raw_final,
+        "grid_overlap_raw": grid_overlap_raw_final,
         "beta_sanity": beta_sanity_final,
         "beta_hist_last": beta_hist[-1] if beta_hist else None,
         "grid_overlap": grid_overlap_final,

@@ -105,6 +105,14 @@ class GANConfig:
                                         # damps the adversarial oscillation
                                         # that otherwise swings the posterior
                                         # around the truth
+    debug_probes: bool = False          # add per-term health metrics to the
+                                        # step output (grad norms per route,
+                                        # logit extremes, param norms, min BN
+                                        # running variance) — the instrument
+                                        # for root-causing non-finite states
+                                        # (r3 flagship NaN at GAN step 7500).
+                                        # Static: changes the metrics pytree,
+                                        # so toggling recompiles.
     d_sees_train_mode: bool = True      # D scores train-mode (dropout-on)
                                         # fakes — the distribution G actually
                                         # optimizes. The reference fed
@@ -171,6 +179,10 @@ class GANBatch(struct.PyTreeNode):
     fresh: jnp.ndarray       # (B, n_pix) fresh N(0, n_sig) real-pair channel
     in_real: Any             # instance noise on real D input (or None)
     in_fake: Any             # instance noise on fake D input (or None)
+    in_g: Any                # (S, B, n_pix, d_ch) instance noise on the G
+                             # route's D input (or None) — G must optimize
+                             # against the same noisy input distribution D
+                             # was trained on, not a privileged clean view
     y_real: jnp.ndarray      # (B,) real labels (smoothed or 1s)
     y_fake: jnp.ndarray      # (B,) fake labels (smoothed or 0s)
     z2: Any                  # (B, latent) residual-route latents (or None)
@@ -242,13 +254,16 @@ def draw_gan_batch(key: jax.Array, bank: jnp.ndarray, cfg: GANConfig) -> GANBatc
 
     d_ch = 2 if cfg.pair_discriminator else 1
     in_shape = (B, real.shape[1], d_ch)
+    S = max(1, cfg.g_steps_per_iter)
     if cfg.d_instance_noise > 0.0:
         # unit noise; the σ scale is applied in gan_update from the traced
         # knob so it can be swept/annealed without recompiling
+        k_inf, k_ing = jax.random.split(k_inf)
         in_real = jax.random.normal(k_inr, in_shape)
         in_fake = jax.random.normal(k_inf, in_shape)
+        in_g = jax.random.normal(k_ing, (S,) + in_shape)
     else:
-        in_real = in_fake = None
+        in_real = in_fake = in_g = None
 
     if cfg.label_smoothing:
         y_real = jax.random.uniform(k_yr, (B,), minval=0.7, maxval=1.0)
@@ -260,12 +275,11 @@ def draw_gan_batch(key: jax.Array, bank: jnp.ndarray, cfg: GANConfig) -> GANBatc
     z2 = (jax.random.uniform(k_z2, (B, cfg.latent_dim),
                              minval=cfg.latent_low, maxval=cfg.latent_high)
           if cfg.residual_route else None)
-    S = max(1, cfg.g_steps_per_iter)
     z3 = jax.random.uniform(k_z3, (S, B, cfg.latent_dim),
                             minval=cfg.latent_low, maxval=cfg.latent_high)
     return GANBatch(
         z1=z1, real=real, fresh=fresh, in_real=in_real, in_fake=in_fake,
-        y_real=y_real, y_fake=y_fake, z2=z2, z3=z3,
+        in_g=in_g, y_real=y_real, y_fake=y_fake, z2=z2, z3=z3,
         kfake=k_fake, kd=k_kd, kres=k_kres,
         kg=jax.random.split(k_kg, S * 2).reshape(S, 2, 2),
     )
@@ -331,9 +345,11 @@ def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
             r1 = jnp.mean(jnp.sum(gx**2, axis=tuple(range(1, gx.ndim))))
             loss = loss + 0.5 * knobs.r1_gamma * r1
         acc = 0.5 * (L.binary_accuracy(lr_, 1.0) + L.binary_accuracy(lf_, 0.0))
-        return loss, acc
+        logit_absmax = jnp.maximum(jnp.max(jnp.abs(lr_)), jnp.max(jnp.abs(lf_)))
+        return loss, (acc, logit_absmax)
 
-    (d_loss, d_acc), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+    (d_loss, (d_acc, d_logit_absmax)), d_grads = jax.value_and_grad(
+        d_loss_fn, has_aux=True)(state.d_params)
     d_grads = psum(d_grads)
     d_acc = psum(d_acc)  # mesh-synced so the balance gate agrees everywhere
     d_upd, d_opt_new = _adam_d(cfg).update(d_grads, state.d_opt, state.d_params)
@@ -379,6 +395,10 @@ def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
                 d_in = jnp.stack([xf, measured[None, :] - xf], axis=-1)
             else:
                 d_in = x if x.ndim == 3 else xf[..., None]
+            if batch.in_g is not None:
+                # same instance-noise distribution the D update saw — without
+                # it G optimizes a privileged clean view of D's input space
+                d_in = d_in + knobs.instance_noise * batch.in_g[s]
             logits = discriminator.apply({"params": d_params}, d_in, train=True,
                                          rngs={"dropout": kd_})
             if cfg.chi_loss:
@@ -428,6 +448,25 @@ def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
         "g_loss": psum(g_loss), "g_acc": psum(g_acc),
         "res_loss": psum(res_loss),
     }
+    if cfg.debug_probes:
+        gnorm = optax.global_norm
+        # route-separated gradient norms + state norms + activation extremes:
+        # whichever diverges FIRST names the culprit term (a NaN anywhere
+        # poisons its norm, so these also localize non-finiteness in time)
+        var_mins = [jnp.min(leaf) for path, leaf in
+                    jax.tree_util.tree_flatten_with_path(g_stats)[0]
+                    if "var" in jax.tree_util.keystr(path)]
+        metrics.update({
+            "d_grad_norm": gnorm(d_grads),
+            "g_grad_norm": gnorm(g_grads),
+            "res_grad_norm": gnorm(r_grads) if cfg.residual_route else jnp.zeros(()),
+            "g_param_norm": gnorm(g_params),
+            "d_param_norm": gnorm(d_params),
+            "x_fake_absmax": jnp.max(jnp.abs(x_fake)),
+            "d_logit_absmax": d_logit_absmax,
+            "bn_var_min": (jnp.min(jnp.stack(var_mins)) if var_mins
+                           else jnp.ones(())),
+        })
     return new_state, metrics
 
 

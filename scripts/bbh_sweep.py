@@ -77,6 +77,65 @@ VARIANTS = {
     "pe_b64_ema4": {"pe_batch_size": 64, "pe_ema_decay": 0.9999},
     "pe_b256_ema4": {"pe_batch_size": 256, "pe_ema_decay": 0.9999},
     "pe_b256_lr4": {"pe_batch_size": 256, "lr": 3.6e-4},
+    # ---- round-4 screens (VERDICT r3 #3/#4): raise the RAW cloud --------
+    # All use the stabilized batch-64 CNN and log beta_raw; debug_probes on
+    # for per-term NaN/stall observability.
+    # r3 flagship recipe exactly, instrumented (NaN repro + d_acc stall)
+    "r4_r3probe": {"pe_batch_size": 64, "res_loss_weight": 1.0,
+                   "posterior_noise": 1.0, "freeze_on_white": 0.95,
+                   "pe_mlrc": 1, "reweight_temper": 1.0,
+                   "select_best": "elbo", "debug_probes": True},
+    # terminal anneal: last 20% with D frozen + adversarial term off, so the
+    # FINAL raw state settles deterministically on the residual optimum
+    "r4_anneal": {"pe_batch_size": 64, "res_loss_weight": 1.0,
+                  "posterior_noise": 1.0, "anneal_frac": 0.2,
+                  "pe_mlrc": 1, "reweight_temper": 1.0,
+                  "debug_probes": True},
+    # GroupNorm generator: no running statistics → train/eval gap closed
+    # structurally; eval-mode res route is then safe (the r3 BN collapse
+    # cannot happen: no stale stats to chase)
+    "r4_grp": {"pe_batch_size": 64, "g_norm": "group",
+               "res_loss_weight": 1.0, "posterior_noise": 1.0,
+               "pe_mlrc": 1, "reweight_temper": 1.0,
+               "debug_probes": True},
+    "r4_grp_evalres": {"pe_batch_size": 64, "g_norm": "group",
+                       "res_loss_weight": 10.0, "res_eval_mode": True,
+                       "posterior_noise": 1.0, "pe_mlrc": 1,
+                       "reweight_temper": 1.0, "debug_probes": True},
+    # snapshot pooling: posterior pooled over 4 recent eval states (averages
+    # over the adversarial oscillation instead of sampling one phase of it)
+    "r4_snap4": {"pe_batch_size": 64, "res_loss_weight": 1.0,
+                 "posterior_noise": 1.0, "n_snapshots": 4,
+                 "pe_mlrc": 1, "reweight_temper": 1.0,
+                 "debug_probes": True},
+    # the combination bet: structural G + anneal + pooling
+    "r4_combo": {"pe_batch_size": 64, "g_norm": "group",
+                 "res_loss_weight": 3.0, "posterior_noise": 1.0,
+                 "anneal_frac": 0.2, "n_snapshots": 4,
+                 "pe_mlrc": 1, "reweight_temper": 1.0,
+                 "debug_probes": True},
+    # ---- r4 scheme fix: ch1-only D + analytic residual route ------------
+    # The pair scheme is unwinnable (D memorizes the one fixed event-noise
+    # vector in ch2; a PERFECT generator scores P(real)=0.008 —
+    # scripts/d_memorization_probe.py). These screens drop ch2 from D
+    # (pair_d=False) and let the residual-moment loss carry the whiteness
+    # pressure, the architecture the burst workload already validates.
+    "ch1res_w1": {"pe_batch_size": 64, "pair_d": False,
+                  "res_loss_weight": 1.0, "posterior_noise": 1.0,
+                  "pe_mlrc": 1, "reweight_temper": 1.0,
+                  "debug_probes": True, "eval_cadence": 5000},
+    "ch1res_w3": {"pe_batch_size": 64, "pair_d": False,
+                  "res_loss_weight": 3.0, "posterior_noise": 1.0,
+                  "pe_mlrc": 1, "reweight_temper": 1.0,
+                  "debug_probes": True, "eval_cadence": 5000},
+    "ch1res_w10": {"pe_batch_size": 64, "pair_d": False,
+                   "res_loss_weight": 10.0, "posterior_noise": 1.0,
+                   "pe_mlrc": 1, "reweight_temper": 1.0,
+                   "debug_probes": True, "eval_cadence": 5000},
+    "ch1res_grp": {"pe_batch_size": 64, "pair_d": False, "g_norm": "group",
+                   "res_loss_weight": 3.0, "posterior_noise": 1.0,
+                   "pe_mlrc": 1, "reweight_temper": 1.0,
+                   "debug_probes": True, "eval_cadence": 5000},
 }
 
 
@@ -87,7 +146,9 @@ def run_one(name, seed, iters):
     out = run_bbh(cfg)
     row = {
         "variant": name, "seed": seed, "iters": iters,
-        "beta": out.get("beta"), "beta_sanity": out.get("beta_sanity"),
+        "beta": out.get("beta"), "beta_raw": out.get("beta_raw"),
+        "grid_overlap_raw": out.get("grid_overlap_raw"),
+        "beta_sanity": out.get("beta_sanity"),
         "cnn_sanity_beta": out.get("cnn_sanity_beta"),
         "grid_overlap": out.get("grid_overlap"),
         "whiteness": (out.get("whiteness") or {}).get("overall"),

@@ -121,6 +121,8 @@ def _concat_gan_batches(batches):
                  else jnp.concatenate([b.in_real for b in batches], axis=0)),
         in_fake=(None if b0.in_fake is None
                  else jnp.concatenate([b.in_fake for b in batches], axis=0)),
+        in_g=(None if b0.in_g is None
+              else jnp.concatenate([b.in_g for b in batches], axis=1)),
         y_real=jnp.concatenate([b.y_real for b in batches], axis=0),
         y_fake=jnp.concatenate([b.y_fake for b in batches], axis=0),
         z2=(None if b0.z2 is None
@@ -424,10 +426,13 @@ def test_gan_anneal_knobs_freeze_d_and_adversarial(burst_setup):
 
 
 @pytest.mark.slow
+@pytest.mark.slowest
 def test_flagship_full_shapes_on_8_device_mesh():
     """VERDICT r2 item 7: one scan-fused step of the EXACT flagship
     BBHGenerator()/PairDiscriminator() shapes over the 8-CPU mesh (the
-    dryrun uses shrunken features)."""
+    dryrun uses shrunken features). `slowest` tier: this single compile
+    dominates the slow tier's wall clock (VERDICT r3 #7) — the bounded
+    slow tier is -m 'slow and not slowest'."""
     from gennet_tpu.models import BBHGenerator, PairDiscriminator
     from gennet_tpu.train.gan import make_gan_step_scan
 
@@ -518,3 +523,60 @@ def test_bbh_gan_step_bf16_compute_path():
     diff = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), state.g_params, new_state.g_params)
     assert max(jax.tree_util.tree_leaves(diff)) > 0.0
+
+
+def test_gan_debug_probes_metrics(burst_setup):
+    """debug_probes adds per-term health metrics (grad norms per route,
+    logit extremes, BN-var min) — the NaN-bisect instrument (VERDICT r3 #3)."""
+    import dataclasses
+
+    cfg, G, D, state, bank, pars, measured = burst_setup
+    dcfg = dataclasses.replace(cfg, debug_probes=True)
+    step = make_gan_step(G, D, dcfg)
+    _, m = step(state, bank, measured, jax.random.PRNGKey(7))
+    for k in ("d_grad_norm", "g_grad_norm", "res_grad_norm", "g_param_norm",
+              "d_param_norm", "x_fake_absmax", "d_logit_absmax", "bn_var_min"):
+        assert k in m, k
+        assert bool(jnp.isfinite(m[k])), (k, m[k])
+    assert float(m["d_grad_norm"]) > 0 and float(m["g_grad_norm"]) > 0
+    assert float(m["res_grad_norm"]) > 0  # residual route active
+    assert float(m["bn_var_min"]) > 0  # BN running variance stays positive
+
+
+def test_gan_ch1_only_with_instance_noise_updates():
+    """The r4 scheme fix (pair_d=False): D judges the waveform channel only,
+    instance noise active on BOTH the D update and the G route (in_g), the
+    residual-moment route anchors G to the event. Regression for the proven
+    pair-scheme pathology (D memorizes the fixed event noise in ch2 — see
+    scripts/d_memorization_probe.py / ROUND4-STATUS.md)."""
+    cfg = GANConfig(
+        n_pix=N_PIX, batch_size=4, pair_discriminator=False,
+        residual_route=True, res_loss_weight=3.0, n_sig=0.25, lr=2e-4,
+        label_smoothing=True, d_instance_noise=0.5, d_acc_gate=0.9,
+    )
+    G, D = _PlainG(), _PlainD()
+    state = init_gan(jax.random.PRNGKey(0), G, D, cfg)
+    bank = jax.random.normal(jax.random.PRNGKey(1), (64, N_PIX))
+    measured = jax.random.normal(jax.random.PRNGKey(2), (N_PIX,))
+    step = make_gan_step(G, D, cfg)
+    new_state = state
+    for i in range(2):
+        new_state, m = step(new_state, bank, measured, jax.random.PRNGKey(7 + i))
+    for k in ("d_loss", "g_loss", "res_loss", "d_acc", "g_acc"):
+        assert bool(jnp.isfinite(m[k])), (k, m[k])
+    # the batch draw materializes the G-route instance noise
+    b = gan_mod.draw_gan_batch(jax.random.PRNGKey(9), bank, cfg)
+    assert b.in_g is not None and b.in_g.shape == (1, 4, N_PIX, 1)
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.g_params, new_state.g_params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0.0
+
+
+def test_run_bbh_rejects_pair_d_false_without_res_route(tmp_path):
+    import pytest
+
+    from gennet_tpu.cli.workloads import BBHConfig, run_bbh
+
+    with pytest.raises(ValueError, match="pair_d"):
+        run_bbh(BBHConfig(pair_d=False, res_loss_weight=0.0,
+                          out_dir=str(tmp_path / "x")))
