@@ -962,6 +962,11 @@ class BBHConfig:
                                         # extremes, BN-var min) in the
                                         # metrics jsonl — the NaN bisect
                                         # instrument (train/gan.py)
+    res_spectral_bands: int = 0         # >0: frequency-resolved residual
+                                        # whiteness target with this many
+                                        # bands (see GANConfig) — the r4
+                                        # analytic replacement for the pair
+                                        # channel's whiteness discrimination
     pair_d: bool = True                 # True = reference subtraction-pair D
                                         # (ref: bbhMahoGANy.py:1267-1289).
                                         # False = D judges the waveform
@@ -1255,6 +1260,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                         residual_route=cfg.res_loss_weight > 0,
                         res_loss_weight=cfg.res_loss_weight,
                         res_eval_mode=cfg.res_eval_mode,
+                        res_spectral_bands=cfg.res_spectral_bands,
                         g_ema_decay=cfg.g_ema_decay,
                         debug_probes=cfg.debug_probes)
     dt = jnp.bfloat16 if cfg.bf16 else jnp.float32

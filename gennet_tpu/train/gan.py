@@ -50,6 +50,20 @@ class GANConfig:
     pair_discriminator: bool = True     # D sees (waveform, residual) pairs
     residual_route: bool = False        # burst 3-loss scheme (ref: :798-802)
     res_loss_weight: float = 1.0        # weight on the residual-moment route
+    res_spectral_bands: int = 0         # >0: the residual route matches the
+                                        # band-averaged residual periodogram
+                                        # to the flat n_sig² noise floor over
+                                        # this many bands (losses.
+                                        # residual_spectral_loss) instead of
+                                        # the 2-moment target — measured r4:
+                                        # mean+variance alone are satisfiable
+                                        # WITHOUT subtracting the signal at
+                                        # BBH SNRs (near-zero G reached
+                                        # res_loss ~1e-3 with its posterior
+                                        # 50σ off); the frequency-resolved
+                                        # test is the analytic replacement
+                                        # for the pair channel's whiteness
+                                        # discrimination.
     res_eval_mode: bool = False         # compute the residual route on the
                                         # generator's EVAL-mode output
                                         # (dropout off, BN running averages).
@@ -372,7 +386,12 @@ def gan_update(state: GANState, batch: GANBatch, measured: jnp.ndarray,
             x, new_stats = _apply_g(generator, gp, g_stats, batch.z2,
                                     batch.kres, train=res_train)
             resid = measured[None, :, None] - x
-            return knobs.res_loss_weight * L.residual_moment_loss(resid, cfg.n_sig), new_stats
+            if cfg.res_spectral_bands > 0:
+                rl = L.residual_spectral_loss(resid, cfg.n_sig,
+                                              cfg.res_spectral_bands)
+            else:
+                rl = L.residual_moment_loss(resid, cfg.n_sig)
+            return knobs.res_loss_weight * rl, new_stats
 
         (res_loss, new_stats), r_grads = jax.value_and_grad(res_loss_fn, has_aux=True)(g_params)
         r_grads = psum(r_grads)

@@ -136,6 +136,36 @@ VARIANTS = {
                    "res_loss_weight": 3.0, "posterior_noise": 1.0,
                    "pe_mlrc": 1, "reweight_temper": 1.0,
                    "debug_probes": True, "eval_cadence": 5000},
+    # ---- r4 scheme fix, take 2: frequency-resolved residual target ------
+    # The ch1res_* screens all collapsed to beta 0 with res_loss ~1e-3: the
+    # 2-moment target is satisfiable WITHOUT subtracting (a near-zero G
+    # leaves the signal's energy spread over 1024 bins — per-bin excess
+    # SNR²/n is inside the moment noise floor at n_sig=0.25). The banded
+    # periodogram (losses.residual_spectral_loss) concentrates the signal's
+    # evidence into few bands where it cannot hide; bands=8 keeps the
+    # white-noise floor low (1/128 per band), bands=32 localizes harder.
+    "ch1spec8_w3": {"pe_batch_size": 64, "pair_d": False,
+                    "res_loss_weight": 3.0, "res_spectral_bands": 8,
+                    "posterior_noise": 1.0, "pe_mlrc": 1,
+                    "reweight_temper": 1.0, "debug_probes": True,
+                    "eval_cadence": 5000},
+    "ch1spec32_w3": {"pe_batch_size": 64, "pair_d": False,
+                     "res_loss_weight": 3.0, "res_spectral_bands": 32,
+                     "posterior_noise": 1.0, "pe_mlrc": 1,
+                     "reweight_temper": 1.0, "debug_probes": True,
+                     "eval_cadence": 5000},
+    "ch1spec32_w10": {"pe_batch_size": 64, "pair_d": False,
+                      "res_loss_weight": 10.0, "res_spectral_bands": 32,
+                      "posterior_noise": 1.0, "pe_mlrc": 1,
+                      "reweight_temper": 1.0, "debug_probes": True,
+                      "eval_cadence": 5000},
+    # spectral route on TOP of the reference pair scheme (keeps parity
+    # default, adds the analytic whiteness pressure)
+    "pairspec32_w3": {"pe_batch_size": 64, "pair_d": True,
+                      "res_loss_weight": 3.0, "res_spectral_bands": 32,
+                      "posterior_noise": 1.0, "pe_mlrc": 1,
+                      "reweight_temper": 1.0, "debug_probes": True,
+                      "eval_cadence": 5000},
 }
 
 

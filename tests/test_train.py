@@ -580,3 +580,39 @@ def test_run_bbh_rejects_pair_d_false_without_res_route(tmp_path):
     with pytest.raises(ValueError, match="pair_d"):
         run_bbh(BBHConfig(pair_d=False, res_loss_weight=0.0,
                           out_dir=str(tmp_path / "x")))
+
+
+def test_residual_spectral_loss_discriminates_and_flows():
+    """The banded-periodogram whiteness target (r4): near-floor on true
+    white noise, large when a chirp-like signal is left in the residual
+    (where the 2-moment loss barely moves — the measured r4 failure), and
+    differentiable. Also exercises the GANConfig.res_spectral_bands wiring
+    through a train step."""
+    from gennet_tpu.train import losses as L
+
+    rng = np.random.default_rng(0)
+    white = jnp.asarray(rng.normal(size=(8, 1024)))
+    t = np.arange(1024) / 1024
+    sig = jnp.asarray(2.0 * np.sin(2 * np.pi * (40 * t + 120 * t**2))
+                      * np.exp(-(((t - 0.8) / 0.15) ** 2)))
+    l_white = float(L.residual_spectral_loss(white, 1.0, 32))
+    l_sig = float(L.residual_spectral_loss(white + sig, 1.0, 32))
+    m_white = float(L.residual_moment_loss(white, 1.0))
+    m_sig = float(L.residual_moment_loss(white + sig, 1.0))
+    assert l_sig > 10 * l_white, (l_sig, l_white)
+    # the spectral test amplifies the signal's evidence far beyond the
+    # global 2-moment test's
+    assert (l_sig / max(l_white, 1e-9)) > 3 * (m_sig / max(m_white, 1e-9))
+    g = jax.grad(lambda s: L.residual_spectral_loss(white + s, 1.0, 32))(sig)
+    assert bool(jnp.isfinite(g).all()) and float(jnp.linalg.norm(g)) > 0
+
+    cfg = GANConfig(n_pix=N_PIX, batch_size=4, pair_discriminator=False,
+                    residual_route=True, res_loss_weight=3.0,
+                    res_spectral_bands=16, n_sig=0.25, lr=2e-4)
+    G, D = _PlainG(), _PlainD()
+    state = init_gan(jax.random.PRNGKey(0), G, D, cfg)
+    bank = jax.random.normal(jax.random.PRNGKey(1), (64, N_PIX))
+    measured = jax.random.normal(jax.random.PRNGKey(2), (N_PIX,))
+    step = make_gan_step(G, D, cfg)
+    s1, m = step(state, bank, measured, jax.random.PRNGKey(7))
+    assert bool(jnp.isfinite(m["res_loss"])) and float(m["res_loss"]) > 0
