@@ -1016,6 +1016,22 @@ class BBHConfig:
     grid_grain: int = 95                # exact-grid posterior resolution for
                                         # the synthetic event (0 = disable)
     n_sig: float = 1.0
+    n_sig_event: bool = True            # use the event's ACTUAL noise std in
+                                        # normalized units — which is exactly
+                                        # the norm constant: make_event draws
+                                        # unit whitened noise then scales by
+                                        # norm = 1/std(measured), so the
+                                        # residual floor sits at std=norm
+                                        # (≈0.66), NOT n_sig=1. Truth-free
+                                        # (std(measured) is observed). With
+                                        # False, every residual/whiteness
+                                        # target is ~2.3× too hot: perfect
+                                        # subtraction leaves var 0.43 but the
+                                        # loss demands 1.0, so G is pushed to
+                                        # under-subtract (measured r4: the
+                                        # ch1spec screens' raw β=0) and the
+                                        # r2 whiteness gate could never cross
+                                        # its 0.99 threshold.
     cnn_noise_frac: float = 1.0 / 8.0
     out_dir: str = "out/bbh"
     ckpt_every: int = 5000
@@ -1028,6 +1044,17 @@ class BBHConfig:
                                         # every PE-affecting config field
     lalinf_dir: str | None = None       # lalinference products (optional)
     bank_file: str | None = None        # pre-built bank npz (optional)
+
+
+def effective_n_sig(cfg: BBHConfig, norm: float) -> float:
+    """The noise std every residual/whiteness/likelihood target should use.
+
+    In normalized units the event noise sits at std = norm (make_event draws
+    unit whitened noise, then the whole series is scaled by
+    norm = 1/std(measured)) — truth-free, since std(measured) is observed.
+    Shared by run_bbh and the offline postproc/rescue scripts so they score
+    with the same likelihood width the run trained with."""
+    return float(norm) if getattr(cfg, "n_sig_event", True) else cfg.n_sig
 
 
 def _prepare_bbh_data(cfg: BBHConfig, key, skip_bank: bool = False):
@@ -1128,6 +1155,12 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     bank, targets, signal, measured, norm, psd, truth, lalinf_samples, key = \
         _prepare_bbh_data(cfg, key)
     bank_cfg = tb.BankConfig()
+    # effective noise std for every residual/whiteness/likelihood target:
+    # the event noise in normalized units sits at std = norm (truth-free,
+    # = 1/std(measured)); see BBHConfig.n_sig_event
+    n_sig_eff = effective_n_sig(cfg, norm)
+    print(f"effective noise std (residual/whiteness targets): {n_sig_eff:.4f}"
+          f" ({'event norm' if cfg.n_sig_event else 'config n_sig'})")
 
     # ---- reference posterior --------------------------------------------
     # lalinference products when mounted (ref comparison set: 3907 rows,
@@ -1249,9 +1282,9 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         print(f"CNN sanity bound beta: {cnn_sanity_beta:.4f}")
 
     # ---- GAN -------------------------------------------------------------
-    inoise = cfg.n_sig if cfg.instance_noise < 0 else cfg.instance_noise
+    inoise = n_sig_eff if cfg.instance_noise < 0 else cfg.instance_noise
     gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
-                        chi_loss=cfg.chi_loss, n_sig=cfg.n_sig,
+                        chi_loss=cfg.chi_loss, n_sig=n_sig_eff,
                         pair_discriminator=cfg.pair_d,
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
                         d_lr_scale=cfg.d_lr_scale, d_acc_gate=cfg.d_acc_gate,
@@ -1325,7 +1358,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             # parametric bootstrap through the noise-augmented CNN (its
             # training already covers N(0, U(0,5)) inputs, ref :1160-1161)
             key, kn = jax.random.split(key)
-            wf_in = wf + cfg.posterior_noise * cfg.n_sig * jax.random.normal(
+            wf_in = wf + cfg.posterior_noise * n_sig_eff * jax.random.normal(
                 kn, wf.shape, wf.dtype)
         samples = np.asarray(cnn_predict(pe_model, pe_state, wf_in,
                                          use_ema=pe_use_ema))
@@ -1338,7 +1371,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                                         use_ema=pe_use_ema)
             key, ks = jax.random.split(key)
             route, samples, scores = pp.select_route(
-                samples, synth, cnn, measured, cfg.n_sig, ks,
+                samples, synth, cnn, measured, n_sig_eff, ks,
                 temper=(cfg.reweight_temper if cfg.reweight_temper > 0
                         else 1.0))
             route_elbo = scores[route]
@@ -1351,20 +1384,20 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             if cfg.pe_debias > 0:
                 key, kd = jax.random.split(key)
                 samples = pp.self_calibrate(samples, synth, cnn, kd,
-                                            cfg.n_sig, rounds=cfg.pe_debias)
+                                            n_sig_eff, rounds=cfg.pe_debias)
             if cfg.pe_bootcal > 0:
                 key, kb = jax.random.split(key)
                 samples = pp.bootstrap_calibrate(samples, synth, cnn, kb,
-                                                 cfg.n_sig)
+                                                 n_sig_eff)
             if cfg.pe_mlrc > 0:
                 key, km = jax.random.split(key)
                 samples = pp.ml_recenter(samples, synth, measured, km)
             if cfg.reweight_temper > 0:
                 key, kr = jax.random.split(key)
                 ess = pp.effective_sample_size(samples, synth, measured,
-                                               cfg.n_sig, cfg.reweight_temper)
+                                               n_sig_eff, cfg.reweight_temper)
                 samples = pp.likelihood_resample(samples, synth, measured,
-                                                 cfg.n_sig, kr,
+                                                 n_sig_eff, kr,
                                                  temper=cfg.reweight_temper)
                 print(f"likelihood resample ESS: {ess:.1f}/{len(samples)}")
         return wf, samples, samples_raw, route_elbo
@@ -1385,7 +1418,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"),
                                 step, samples)
         resid = np.asarray(measured)[None, :] - np.asarray(wf[:256])
-        ws = whiteness_score(resid, cfg.n_sig)
+        ws = whiteness_score(resid, n_sig_eff)
         w_score = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
         out = {"whiteness": w_score, "ws": ws, "wf": wf, "samples": samples,
                "beta": None, "grid_overlap": None, **raw_row}
@@ -1422,7 +1455,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
             from gennet_tpu.eval import posterior_post as pp
 
             elbo = route_elbo if route_elbo is not None else \
-                pp.elbo_score(samples, synth, measured, cfg.n_sig)
+                pp.elbo_score(samples, synth, measured, n_sig_eff)
             print(f"cloud ELBO: {elbo:.1f}")
             if np.isfinite(elbo):
                 out["elbo"] = elbo

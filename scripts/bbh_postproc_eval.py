@@ -31,7 +31,7 @@ if os.environ.get("JAX_PLATFORMS"):
 import jax.numpy as jnp
 import numpy as np
 
-from gennet_tpu.cli.workloads import BBHConfig, _prepare_bbh_data
+from gennet_tpu.cli.workloads import BBHConfig, _prepare_bbh_data, effective_n_sig
 from gennet_tpu.data import template_bank as tb
 from gennet_tpu.eval import grid_posterior as gp
 from gennet_tpu.eval import overlap as ov
@@ -126,24 +126,24 @@ def main():
         routes["raw"] = cloud
         k1, k2, k3, k4, key = jax.random.split(key, 5)
         routes["debias1"] = pp.self_calibrate(cloud, synth, cnn, k1,
-                                              cfg.n_sig, rounds=1)
+                                              effective_n_sig(cfg, norm), rounds=1)
         routes["debias2"] = pp.self_calibrate(cloud, synth, cnn, k2,
-                                              cfg.n_sig, rounds=2)
+                                              effective_n_sig(cfg, norm), rounds=2)
         routes["bootcal"] = pp.bootstrap_calibrate(cloud, synth, cnn, k3,
-                                                   cfg.n_sig)
+                                                   effective_n_sig(cfg, norm))
         routes["debias1_bootcal"] = pp.bootstrap_calibrate(
-            routes["debias1"], synth, cnn, k4, cfg.n_sig)
+            routes["debias1"], synth, cnn, k4, effective_n_sig(cfg, norm))
         km, kmr, key = jax.random.split(key, 3)
         routes["mlrc"] = pp.ml_recenter(cloud, synth, measured, km)
         routes["mlrc_reweight1"] = pp.likelihood_resample(
-            routes["mlrc"], synth, measured, cfg.n_sig, kmr, temper=1.0)
+            routes["mlrc"], synth, measured, effective_n_sig(cfg, norm), kmr, temper=1.0)
         kr, kr5, key = jax.random.split(key, 3)
         routes["reweight1"] = pp.likelihood_resample(
-            cloud, synth, measured, cfg.n_sig, kr, temper=1.0)
+            cloud, synth, measured, effective_n_sig(cfg, norm), kr, temper=1.0)
         routes["reweight05"] = pp.likelihood_resample(
-            cloud, synth, measured, cfg.n_sig, kr5, temper=0.5)
+            cloud, synth, measured, effective_n_sig(cfg, norm), kr5, temper=0.5)
         ess = {t: round(pp.effective_sample_size(cloud, synth, measured,
-                                                 cfg.n_sig, temper=t), 1)
+                                                 effective_n_sig(cfg, norm), temper=t), 1)
                for t in (1.0, 0.5)}
 
         for name, s in routes.items():
@@ -152,7 +152,7 @@ def main():
             # (elbo, grid_overlap) pairs across runs/routes validate that
             # argmax-ELBO selection picks high-overlap clouds on the
             # flagship, not just in the Gaussian unit test
-            e = pp.elbo_score(np.asarray(s), synth, measured, cfg.n_sig)
+            e = pp.elbo_score(np.asarray(s), synth, measured, effective_n_sig(cfg, norm))
             row = {"run": os.path.basename(out_dir.rstrip("/")),
                    "route": name, "beta": round(float(b), 4),
                    "grid_overlap": round(float(g), 4),

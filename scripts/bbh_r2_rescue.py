@@ -33,7 +33,7 @@ if os.environ.get("JAX_PLATFORMS"):
 import jax.numpy as jnp
 import numpy as np
 
-from gennet_tpu.cli.workloads import BBHConfig, _prepare_bbh_data
+from gennet_tpu.cli.workloads import BBHConfig, _prepare_bbh_data, effective_n_sig
 from gennet_tpu.data import template_bank as tb
 from gennet_tpu.eval import grid_posterior as gp
 from gennet_tpu.eval import overlap as ov
@@ -113,7 +113,7 @@ def main():
     b0, g0 = score(final)
     key, ks = jax.random.split(key)
     route, out_cloud, elbos = pp.select_route(final, synth, cnn, measured,
-                                              cfg.n_sig, ks, temper=1.0)
+                                              effective_n_sig(cfg, norm), ks, temper=1.0)
     b1, g1 = score(out_cloud)
     row = {"cloud": os.path.basename(npzs[-1]), "raw_beta": round(float(b0), 4),
            "raw_grid": round(float(g0), 4), "auto_route": route,
@@ -130,7 +130,7 @@ def main():
     for p in picks:
         c = np.load(p)["samples"].astype(np.float64)
         key, ks = jax.random.split(key)
-        r, oc, es = pp.select_route(c, synth, cnn, measured, cfg.n_sig, ks,
+        r, oc, es = pp.select_route(c, synth, cnn, measured, effective_n_sig(cfg, norm), ks,
                                     temper=1.0)
         b, g = score(oc)
         e = es[r]

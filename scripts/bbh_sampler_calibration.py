@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from gennet_tpu.cli.workloads import BBHConfig, _prepare_bbh_data
+from gennet_tpu.cli.workloads import BBHConfig, _prepare_bbh_data, effective_n_sig
 from gennet_tpu.eval import grid_posterior as gp
 from gennet_tpu.eval import overlap as ov
 from gennet_tpu.models import BBHGenerator, DualBranchPE, PairDiscriminator
@@ -89,7 +89,7 @@ def main():
                 key, kz, kn = jax.random.split(key, 3)
                 wf = sample_generator(G, gan_state, kz, n, gan_cfg,
                                       dropout=dropout, bn_mode=bn_mode)
-                wf_in = wf + pn * cfg.n_sig * jax.random.normal(kn, wf.shape, wf.dtype)
+                wf_in = wf + pn * effective_n_sig(cfg, norm) * jax.random.normal(kn, wf.shape, wf.dtype)
                 s = np.asarray(cnn_predict(pe, pe_state, wf_in))
                 row = {
                     "bn_mode": bn_mode, "dropout": dropout, "posterior_noise": pn,

@@ -82,35 +82,54 @@ def main(run_dir: str):
     def pair(a, b):
         return jnp.stack([a, b], axis=-1)
 
+    # the TRUE residual std in normalized units: make_event draws unit
+    # noise then scales everything by norm = 1/std(measured), so the event
+    # noise sits at std=norm — NOT cfg.n_sig. Families below separate the
+    # two candidate cues: the specific memorized vector vs its variance.
+    true_res = np.asarray(meas[0] - sig[0])
+    true_std = float(true_res.std())
+    k_p, k_f4 = jax.random.split(jax.random.PRNGKey(7))
+    perm = jax.random.permutation(k_p, cfg.n_pix)
+    shuf = jnp.broadcast_to(jnp.asarray(true_res)[perm][None, :],
+                            (B, cfg.n_pix))
+    fresh_true = jax.random.normal(k_f4, (B, cfg.n_pix)) * true_std
+    print(f"cfg.n_sig={cfg.n_sig}  true residual std={true_std:.4f}  "
+          f"(norm={float(norm):.4f})")
+
     families = {
-        "A real   [tmpl, fresh]": pair(tmpl, fresh1),
+        "A real   [tmpl, fresh@n_sig]": pair(tmpl, fresh1),
         "B perfect [sig, meas-sig]": pair(sig, meas - sig),
-        "C swapped [sig, fresh]": pair(sig, fresh2),
+        "C swapped [sig, fresh@n_sig]": pair(sig, fresh2),
+        "C2 varctl [sig, fresh@true]": pair(sig, fresh_true),
+        "C3 shuffl [sig, perm(meas-sig)]": pair(sig, shuf),
         "D fake    [G, meas-G]": pair(gz, meas - gz),
-        "E swapped [G, fresh]": pair(gz, fresh3),
+        "E swapped [G, fresh@n_sig]": pair(gz, fresh3),
     }
-    print(f"{'family':28s} {'mean logit':>10s} {'P(real)':>8s} "
+    print(f"{'family':32s} {'mean logit':>10s} {'P(real)':>8s} "
           f"{'frac>0':>7s}")
     results = {}
     for name, x in families.items():
         logits = D.apply({"params": state.d_params}, x, train=False)
         logits = np.asarray(logits).reshape(-1)
         p = 1 / (1 + np.exp(-logits))
-        results[name[:1]] = float(logits.mean())
-        print(f"{name:28s} {logits.mean():10.3f} {p.mean():8.3f} "
+        results[name.split()[0]] = float(logits.mean())
+        print(f"{name:32s} {logits.mean():10.3f} {p.mean():8.3f} "
               f"{(logits > 0).mean():7.2f}")
 
-    memorized = (results["A"] > 0 and results["B"] < 0 and results["C"] > 0)
     print()
-    if memorized:
-        print("MEMORIZATION CONFIRMED: a perfect generator's pair is "
-              "classified FAKE purely because of WHICH noise vector is in "
-              "channel 2 — D has memorized the fixed event noise; no G can "
-              "ever fool it.")
+    if results["B"] < 0 and results["C"] > 0 and results["C2"] < 0:
+        print("VARIANCE CUE: B (true residual), C2 (fresh noise at the SAME "
+              "std), and C (fresh at cfg.n_sig) differ only in ch2 "
+              "distribution; D keys on the std mismatch cfg.n_sig vs the "
+              "event's actual noise std (= norm). The pair game is "
+              "unwinnable because the real pairs' fresh channel is drawn at "
+              "the WRONG scale — fix n_sig, not the scheme.")
+    elif results["B"] < 0 and results["C2"] > 0:
+        print("MEMORIZATION CONFIRMED: fresh noise at the true std passes "
+              "but the event's own noise vector fails — D memorized the "
+              "fixed realization; no G can ever fool it.")
     else:
-        print("Memorization NOT the (sole) cue: see per-family logits above "
-              "(e.g. E fake with fresh ch2 still detected -> ch1 waveform "
-              "texture is also a cue).")
+        print("Mixed cue: see per-family logits above.")
     return results
 
 

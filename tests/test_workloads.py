@@ -51,6 +51,7 @@ def test_blob_toy_tiny(tmp_path):
     assert np.isfinite(out["gan_d_loss"])
 
 
+@pytest.mark.slowest  # 637s CPU: full flagship integration; bounded slow tier excludes it
 def test_bbh_workload_tiny(tmp_path):
     # full flagship wiring with a tiny synthetic bank: the models are built
     # at full n_pix=1024 but trained only a couple of steps
