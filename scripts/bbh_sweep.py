@@ -166,6 +166,25 @@ VARIANTS = {
                       "posterior_noise": 1.0, "pe_mlrc": 1,
                       "reweight_temper": 1.0, "debug_probes": True,
                       "eval_cadence": 5000},
+    # ---- the r4 combination: every root-caused fix together --------------
+    # ch1-only D (kills the memorized-noise-vector cue) + spectral residual
+    # (binding whiteness test) + event-norm n_sig (correct target, default
+    # on) + GroupNorm G (no train/eval statistics gap — the measured reason
+    # ch1spec32_w3's TRAIN-mode residual whitened while its EVAL-mode cloud
+    # collapsed: BN running averages were never constrained)
+    "ch1spec32_grp": {"pe_batch_size": 64, "pair_d": False, "g_norm": "group",
+                      "res_loss_weight": 3.0, "res_spectral_bands": 32,
+                      "posterior_noise": 1.0, "pe_mlrc": 1,
+                      "reweight_temper": 1.0, "debug_probes": True,
+                      "eval_cadence": 5000},
+    # + constrain the EVAL-mode output directly (safe without BN: the r3
+    # eval-route collapse was BN chasing stale statistics)
+    "ch1spec32_grp_ev": {"pe_batch_size": 64, "pair_d": False,
+                         "g_norm": "group", "res_loss_weight": 3.0,
+                         "res_spectral_bands": 32, "res_eval_mode": True,
+                         "posterior_noise": 1.0, "pe_mlrc": 1,
+                         "reweight_temper": 1.0, "debug_probes": True,
+                         "eval_cadence": 5000},
 }
 
 
