@@ -185,6 +185,15 @@ VARIANTS = {
                          "posterior_noise": 1.0, "pe_mlrc": 1,
                          "reweight_temper": 1.0, "debug_probes": True,
                          "eval_cadence": 5000},
+    # the r4 flagship recipe: the combination above + zero-knob state
+    # selection, snapshot pooling (dispersion), and a terminal anneal
+    # (D frozen, residual-only settling of the FINAL raw state)
+    "r4flag": {"pe_batch_size": 64, "pair_d": False, "g_norm": "group",
+               "res_loss_weight": 3.0, "res_spectral_bands": 32,
+               "posterior_noise": 1.0, "pe_mlrc": 1,
+               "reweight_temper": 1.0, "n_snapshots": 4,
+               "select_best": "elbo", "anneal_frac": 0.1,
+               "debug_probes": True, "eval_cadence": 5000},
 }
 
 
