@@ -27,7 +27,7 @@ VARIANTS = {
     # round-1 recipe re-run under the refactored step (parity check)
     "base": {"instance_noise": -1.0, "res_loss_weight": 1.0,
              "pe_iters": 20000, "pe_noise_frac": 0.0, "pe_no_norm": False,
-             "n_posterior": 1000, "freeze_on_white": 0.0},
+             "n_posterior": 1000, "freeze_on_white": 0.0, "freeze_on_res": 0.0},
     # adaptive D/G balance: D updates only while its accuracy < gate
     "gate90": {"d_acc_gate": 0.90},
     "gate75": {"d_acc_gate": 0.75},
@@ -182,7 +182,7 @@ VARIANTS = {
     # exact posterior + const, truth-free) picks among them. No freeze —
     # selection wants the full eval trajectory to choose from.
     "mlrc_sel": {"pe_mlrc": 1, "pe_bootcal": 1, "select_best": "elbo",
-                 "freeze_on_white": 0.0},
+                 "freeze_on_white": 0.0, "freeze_on_res": 0.0},
     # selection + freeze: cheaper (stops early) but selects only among
     # pre-freeze states
     "mlrc_sel_frz": {"pe_mlrc": 1, "pe_bootcal": 1, "select_best": "elbo"},
@@ -190,7 +190,7 @@ VARIANTS = {
     # AND the state across the whole trajectory — zero hand-chosen
     # calibration knobs
     "auto": {"select_route": "elbo", "select_best": "elbo",
-             "freeze_on_white": 0.0},
+             "freeze_on_white": 0.0, "freeze_on_res": 0.0},
     "reweight": {"reweight_temper": 1.0},
     "reweight05": {"reweight_temper": 0.5},
     "debias_reweight": {"pe_debias": 1, "reweight_temper": 1.0},
