@@ -538,11 +538,13 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
                             sel_score, sel_states, sel_step = \
                                 elbo, eval_states, i
                 if cfg.freeze_on_white > 0 and frozen_at is None:
-                    from gennet_tpu.eval.whiteness import whiteness_score
+                    from gennet_tpu.eval.whiteness import posterior_whiteness
 
-                    resid = (np.asarray(measured)[None, :]
-                             - _wf2d[:256]) / cfg.n_sig
-                    ws = whiteness_score(resid, 1.0)
+                    # gate on the posterior-MEAN waveform's residual: per-draw
+                    # residuals carry the cloud's dispersion by construction
+                    # (audited r5; see eval/whiteness.posterior_whiteness)
+                    ws = posterior_whiteness(np.asarray(measured) / cfg.n_sig,
+                                             _wf2d[:256] / cfg.n_sig, 1.0)
                     w = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
                     diag["whiteness"] = w
                     # combined gate: white residual draws AND a converged
@@ -598,10 +600,10 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
         print(f"final-state grid overlap: {final_score:.4f}")
         # residual-whiteness gate (SURVEY idiom 4): h(t) − x_gen should be
         # N(0, n_sig²) white
-        from gennet_tpu.eval.whiteness import whiteness_score
+        from gennet_tpu.eval.whiteness import posterior_whiteness
 
-        resid = (np.asarray(measured)[None, :] - np.asarray(wf)) / cfg.n_sig
-        whiteness = whiteness_score(resid, 1.0)
+        whiteness = posterior_whiteness(np.asarray(measured) / cfg.n_sig,
+                                        np.asarray(wf) / cfg.n_sig, 1.0)
         print(f"residual whiteness: {whiteness}")
         if cfg.plots:
             from gennet_tpu.eval import plots as P
@@ -979,6 +981,27 @@ class BBHConfig:
                                         # a PERFECT generator's pair scores
                                         # P(real)=0.008; no G can win the
                                         # pair game). Needs res_loss_weight>0.
+    twin_boost: int = 0                 # >0: append this many copies of the
+                                        # event-twin template to the GAN's
+                                        # REAL bank (CNN PE set stays
+                                        # twin-free). The reference deletes
+                                        # the twin from the real set (ref:
+                                        # bbhMahoGANy.py:1031-1037), which
+                                        # the r4 memorization probe measured
+                                        # as an anti-truth cue: D scores the
+                                        # true waveform −1.7 logits below
+                                        # bank templates because the ONLY
+                                        # waveform never seen as real is
+                                        # G's exact target, so adversarial
+                                        # pressure actively repels G from
+                                        # the truth. Boosting restores real
+                                        # density at the truth point using
+                                        # no information beyond what the
+                                        # bank maker already used (the twin
+                                        # is constructed from the event's
+                                        # published parameters, ref:
+                                        # gw_template_maker.py:729-739).
+                                        # 0 = reference-parity exclusion.
     posterior_temp: float = 1.0         # latent temperature for draws
     posterior_noise: float = 0.0        # fresh N(0, this·n_sig) noise on each
                                         # draw before the CNN (parametric
@@ -1053,8 +1076,30 @@ def effective_n_sig(cfg: BBHConfig, norm: float) -> float:
     unit whitened noise, then the whole series is scaled by
     norm = 1/std(measured)) — truth-free, since std(measured) is observed.
     Shared by run_bbh and the offline postproc/rescue scripts so they score
-    with the same likelihood width the run trained with."""
+    with the same likelihood width the run trained with.
+
+    Note (ADVICE r4): configs persisted before the n_sig_event field
+    existed (r2/r3 artifacts) default to True here, so offline re-scoring
+    of those runs uses the CORRECTED norm-width likelihood, not the
+    n_sig=1.0 width they trained with. This is deliberate — the r4 audit
+    showed the old width was ~1.5× too hot, so historical clouds are
+    re-scored against the physically correct likelihood; cross-round score
+    comparisons should use re-scored numbers on both sides."""
     return float(norm) if getattr(cfg, "n_sig_event", True) else cfg.n_sig
+
+
+def gan_real_bank(cfg: BBHConfig, bank, signal):
+    """Real-set bank for the GAN phase (see ``BBHConfig.twin_boost``).
+
+    With ``twin_boost > 0`` the event-twin waveform re-enters the real
+    distribution (``boost`` copies, raising its per-draw probability to
+    boost/(training_num+boost)); the CNN PE bank is untouched, so the
+    evaluation instrument never trains on the event."""
+    boost = int(getattr(cfg, "twin_boost", 0) or 0)
+    if boost <= 0 or bank is None:
+        return bank
+    twin = jnp.tile(jnp.asarray(signal)[None, :], (boost, 1))
+    return jnp.concatenate([bank, twin], axis=0)
 
 
 def _prepare_bbh_data(cfg: BBHConfig, key, skip_bank: bool = False):
@@ -1321,7 +1366,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     from collections import deque
 
-    from gennet_tpu.eval.whiteness import whiteness_score
+    from gennet_tpu.eval.whiteness import posterior_whiteness
 
     snapshots = deque(maxlen=max(1, cfg.n_snapshots))
 
@@ -1417,8 +1462,11 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 log.log(step, raw_row)
         save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"),
                                 step, samples)
-        resid = np.asarray(measured)[None, :] - np.asarray(wf[:256])
-        ws = whiteness_score(resid, n_sig_eff)
+        # audited r5 (VERDICT #4): score the posterior-MEAN waveform's
+        # residual; per-draw residuals are inflated by the cloud's own
+        # dispersion (the r4 flagship's whiteness 0.087-vs-res_loss-9e-4
+        # contradiction), see eval/whiteness.posterior_whiteness
+        ws = posterior_whiteness(measured, wf[:256], n_sig_eff)
         w_score = (ws["mean_pass"] + ws["var_pass"] + ws["ljung_box_pass"]) / 3.0
         out = {"whiteness": w_score, "ws": ws, "wf": wf, "samples": samples,
                "beta": None, "grid_overlap": None, **raw_row}
@@ -1473,6 +1521,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         adv_weight=jnp.asarray(0.0, jnp.float32))
     anneal_start = int(cfg.gan_iters * (1.0 - cfg.anneal_frac))
 
+    gan_bank = gan_real_bank(cfg, bank, signal)
     beta_hist, beta_steps = [], []
     best_white, best_state = -1.0, gan_state
     sel_score, sel_states, sel_step = float("-inf"), None, None
@@ -1481,7 +1530,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     for i0 in range(start, cfg.gan_iters, chunk):
         key, sub = jax.random.split(key)
         knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
-        gan_state, m = gan_step_fn(gan_state, bank, measured, sub, knobs)
+        gan_state, m = gan_step_fn(gan_state, gan_bank, measured, sub, knobs)
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
         res_raw = float(m["res_loss"]) / max(cfg.res_loss_weight, 1e-30)

@@ -75,7 +75,8 @@ def write_synthetic_products(directory: str, seed: int = 0,
                              n_posterior: int = 4000,
                              grid_grain: int = 64,
                              event_time: str = "1126259462",
-                             noise_sigma: float = 1.0):
+                             noise_sigma: float = 1.0,
+                             mc_range=(20.0, 35.0), q_range=(0.5, 1.0)):
     """Write a complete synthetic lalinference product directory.
 
     Returns a dict with the ground truth: the whitened signal/measured
@@ -130,9 +131,15 @@ def write_synthetic_products(directory: str, seed: int = 0,
     from gennet_tpu.eval import grid_posterior as gp
     from gennet_tpu.physics import priors
 
+    # the grid likelihood divides the NORMALIZED residual by noise_sigma
+    # (grid_posterior.py:80), so the whitened-units noise std must be
+    # scaled by the norm constant — the same event-norm convention as
+    # run_bbh's effective_n_sig (ADVICE r4: the unscaled value wrote a
+    # ground-truth posterior ~1/norm too wide)
     L, mc_grid, q_grid = gp.bbh_grid_posterior(
         measured_1s, psd_scaled, cfg, norm_constant=float(norm),
-        noise_sigma=noise_sigma, grain=grid_grain)
+        noise_sigma=noise_sigma * float(norm), grain=grid_grain,
+        mc_range=mc_range, q_range=q_range)
     samples = gp.sample_grid_posterior(np.asarray(L), np.asarray(mc_grid),
                                        np.asarray(q_grid), n_posterior,
                                        seed=seed)

@@ -38,10 +38,23 @@ def ljung_box(residual: np.ndarray, n_lags: int = 20):
     return q, chi2.sf(q, n_lags)
 
 
-def whiteness_score(residual: np.ndarray, n_sig: float = 1.0, n_lags: int = 20):
+def whiteness_score(residual: np.ndarray, n_sig: float = 1.0, n_lags: int = 20,
+                    dispersion: np.ndarray | None = None):
     """Summary dict: fraction of residual rows passing moment bounds and the
-    Ljung-Box test at p > 0.01 — a single trainable-quality gate."""
+    Ljung-Box test at p > 0.01 — a single trainable-quality gate.
+
+    ``dispersion``: optional per-row variance to subtract from the measured
+    residual variance before comparing against n_sig². When the residual
+    rows are ``measured − draw_i`` for POSTERIOR draws (not point
+    estimates), each row's variance is inflated by that draw's deviation
+    from the truth — for a centred cloud ≈ its deviation from the cloud
+    mean, ``mean((draw_i − cloud_mean)²)``, which is observable and
+    truth-free. Without this correction a perfectly-subtracting run with a
+    deliberately dispersed posterior reads var_pass ≈ 0 (the measured r4
+    flagship artifact: whiteness_final 0.087 against res_loss 9e-4)."""
     mean, var = residual_moments(residual, n_sig)
+    if dispersion is not None:
+        var = var - np.asarray(dispersion, np.float64).reshape(-1) / n_sig**2
     n = np.asarray(residual).shape[-1]
     mean_ok = np.abs(mean) < 4.0 * n_sig / np.sqrt(n)
     var_ok = np.abs(var - 1.0) < 6.0 / np.sqrt(n)
@@ -53,3 +66,24 @@ def whiteness_score(residual: np.ndarray, n_sig: float = 1.0, n_lags: int = 20):
         "ljung_box_pass": float(np.mean(lb_ok)),
         "overall": float(np.mean(mean_ok & var_ok & lb_ok)),
     }
+
+
+def posterior_whiteness(measured: np.ndarray, draws: np.ndarray,
+                        n_sig: float = 1.0, n_lags: int = 20):
+    """Whiteness of the subtraction product for a posterior CLOUD.
+
+    The subtraction method's claim is about ``h(t) − x_gen`` (ref:
+    bbhMahoGANy.py:931-936, a single G output). For a cloud of draws the
+    right gate object is the residual of the posterior-MEAN waveform (the
+    MMSE subtraction product); per-draw residuals carry the cloud's
+    dispersion by construction. Returns the mean-waveform score dict plus
+    the dispersion-corrected per-draw score under ``"draws"``.
+    """
+    measured = np.asarray(measured, np.float64).reshape(-1)
+    draws = np.asarray(draws, np.float64).reshape(-1, measured.shape[-1])
+    mean_wf = draws.mean(axis=0, keepdims=True)
+    out = whiteness_score(measured[None, :] - mean_wf, n_sig, n_lags)
+    disp = ((draws - mean_wf) ** 2).mean(axis=-1)
+    out["draws"] = whiteness_score(measured[None, :] - draws, n_sig, n_lags,
+                                   dispersion=disp)
+    return out

@@ -18,6 +18,15 @@ same kernel (VPU, before the single HBM write of the output tile).
 Stride-2 layers reuse the stride-1 kernel and slice the output — the MXU
 work doubles, but for the flagship's stride-2 layers (the discriminator
 front) the simplicity wins until profiling says otherwise.
+
+STATUS (r4 scaling study, out/scaling_study.log): measured UNIFORMLY
+slower than XLA's conv lowering for the GAN train step at every batch
+(8/64/256 → 0.23/0.23/0.20 MFU vs XLA's 0.28/0.34/0.35), so
+``conv_impl='xla'`` is the flagship default and this kernel is DEMOTED to
+a measurement baseline: it is kept (tested, correct) solely so the
+scaling-study comparison stays reproducible (`scripts/bench_scaling.py`,
+`scripts/bench_conv_impl.py`). The Pallas win that shipped is the bank
+builder's phasor-iDFT (`ops/phasor_dft.py`), not this conv.
 """
 
 from functools import partial

@@ -77,7 +77,9 @@ def residual_spectral_loss(residual: jnp.ndarray, n_sig: float,
     # mean term below covers DC)
     spec = jnp.fft.rfft(r, axis=-1)[:, 1:-1]
     p = (jnp.abs(spec) ** 2) / n
-    nb = max(1, int(n_bands))
+    # clamp: with n_bands > retained bins (tiny test n_pix) the truncated
+    # bin count would hit 0 and the empty-axis mean returns NaN (ADVICE r4)
+    nb = max(1, min(int(n_bands), p.shape[-1]))
     bins = p.shape[-1] - (p.shape[-1] % nb)
     bands = p[:, :bins].reshape(r.shape[0], nb, -1).mean(axis=-1)
     m1 = jnp.mean(r, axis=-1)

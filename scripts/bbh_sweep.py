@@ -194,6 +194,44 @@ VARIANTS = {
                "reweight_temper": 1.0, "n_snapshots": 4,
                "select_best": "elbo", "anneal_frac": 0.1,
                "debug_probes": True, "eval_cadence": 5000},
+    # ---- round-5 screens (VERDICT r4 #2/#5) ------------------------------
+    # Event-twin fix: the memorization probe measured D scoring the TRUE
+    # waveform −1.7 logits below bank templates because the twin is the one
+    # waveform never in the real set — adversarial pressure repels G from
+    # the truth and the raw cloud degrades after ~25k. twin_boost restores
+    # real density at the truth point (500 copies = 1% of real draws).
+    "r5_tw500": {"pe_batch_size": 64, "pair_d": False, "g_norm": "group",
+                 "res_loss_weight": 3.0, "res_spectral_bands": 32,
+                 "posterior_noise": 1.0, "pe_mlrc": 1,
+                 "reweight_temper": 1.0, "n_snapshots": 4,
+                 "select_best": "elbo", "anneal_frac": 0.1,
+                 "twin_boost": 500,
+                 "debug_probes": True, "eval_cadence": 5000},
+    # dose-response: 4% of real draws
+    "r5_tw2k": {"pe_batch_size": 64, "pair_d": False, "g_norm": "group",
+                "res_loss_weight": 3.0, "res_spectral_bands": 32,
+                "posterior_noise": 1.0, "pe_mlrc": 1,
+                "reweight_temper": 1.0, "n_snapshots": 4,
+                "select_best": "elbo", "anneal_frac": 0.1,
+                "twin_boost": 2000,
+                "debug_probes": True, "eval_cadence": 5000},
+    # twin fix on the reference PAIR scheme (the ch2 memorized-noise cue
+    # remains — isolates how much of the pair failure is the twin cue)
+    "pairspec32_tw500": {"pe_batch_size": 64, "pair_d": True,
+                         "res_loss_weight": 3.0, "res_spectral_bands": 32,
+                         "posterior_noise": 1.0, "pe_mlrc": 1,
+                         "reweight_temper": 1.0, "twin_boost": 500,
+                         "debug_probes": True, "eval_cadence": 5000},
+    # VERDICT r4 #5: flagship batch decided on evidence — the r4 recipe at
+    # batch 64 (scaling study: +20% MFU, 10× fewer dispatches), lr scaled
+    # ~√(64/8); control = out/bbh_r4 (same recipe, batch 8, 50k)
+    "r4flag_b64": {"pe_batch_size": 64, "pair_d": False, "g_norm": "group",
+                   "res_loss_weight": 3.0, "res_spectral_bands": 32,
+                   "posterior_noise": 1.0, "pe_mlrc": 1,
+                   "reweight_temper": 1.0, "n_snapshots": 4,
+                   "select_best": "elbo", "anneal_frac": 0.1,
+                   "batch_size": 64, "lr": 5.6e-4,
+                   "debug_probes": True, "eval_cadence": 5000},
 }
 
 

@@ -24,7 +24,10 @@ VARIANTS = {
     # the r2 DEFAULT recipe (noin + resw10 + noise-augmented unnormalized
     # CNN + whiteness-gated early stop) — config defaults, no overrides
     "default": {},
-    # round-1 recipe re-run under the refactored step (parity check)
+    # round-1 recipe re-run under the refactored step (parity check).
+    # NOTE (ADVICE r4): since r4, instance noise is also applied to the
+    # G-route D input (train/gan.py) — r4+ re-runs of this variant are NOT
+    # bit-comparable with r1-r3 'base' results when instance_noise > 0.
     "base": {"instance_noise": -1.0, "res_loss_weight": 1.0,
              "pe_iters": 20000, "pe_noise_frac": 0.0, "pe_no_norm": False,
              "n_posterior": 1000, "freeze_on_white": 0.0, "freeze_on_res": 0.0},

@@ -18,6 +18,16 @@ import jax  # noqa: E402
 # this is effective as long as no test module touched a device at import).
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache for the CPU test mesh (separate dir from the TPU
+# runtime cache): the slow/slowest workload-integration tests are
+# XLA-compile-dominated (full-width flagship models), so first run pays the
+# compile and repeat suite runs load from cache — this is what bounds the
+# `slowest` tier (VERDICT r4 #8) without shrinking test fidelity.
+_cache = os.path.expanduser("~/.cache/gennet_tpu_xla_cpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import pytest  # noqa: E402
 
 

@@ -180,6 +180,43 @@ def test_synthetic_products_roundtrip(tmp_path):
     mc_t, q_t = out["truth"]
     assert abs(np.median(post[:, 0]) - mc_t) < 2.0
     assert abs(np.median(post[:, 1]) - q_t) < 0.25
+    # width regression (ADVICE r4): the written posterior must have the
+    # width of the exact grid at the NORMALIZED noise std (norm·σ_white,
+    # the same event-norm convention as run_bbh's effective_n_sig); the
+    # old writer passed whitened units and was ~1/norm (~1.5×) too wide.
+    # Needs a σ-resolving grid: at the broad default box, cell width
+    # exceeds the posterior σ and the sample width is pure cell jitter.
+    from gennet_tpu.eval import grid_posterior as gp
+
+    d2 = str(tmp_path / "prod_narrow")
+    mc_t2, q_t2 = out["truth"]
+    mcr = (mc_t2 - 1.5, mc_t2 + 1.5)
+    qr = (max(q_t2 - 0.15, 0.5), min(q_t2 + 0.15, 1.0))
+    out2 = sp.write_synthetic_products(d2, seed=0, n_posterior=400,
+                                       grid_grain=32, mc_range=mcr,
+                                       q_range=qr)
+    L, gx, gy = gp.bbh_grid_posterior(
+        out2["measured_whitened"], np.asarray(psd), cfg,
+        norm_constant=out2["norm_constant"],
+        noise_sigma=out2["norm_constant"], grain=32,
+        mc_range=mcr, q_range=qr)
+    _, _, smc, sq = gp.grid_moments(np.asarray(L), np.asarray(gx),
+                                    np.asarray(gy))
+    post2 = out2["posterior_mc_q"]
+    assert 0.7 < post2[:, 0].std() / smc < 1.3
+    assert 0.7 < post2[:, 1].std() / sq < 1.3
+    # comparative pin (the measured buggy-vs-correct width gap is only
+    # ~1.16× at this geometry, inside the band above): the written cloud
+    # must match the correct-σ grid's width BETTER than the buggy
+    # whitened-units grid's
+    Lb, _, _ = gp.bbh_grid_posterior(
+        out2["measured_whitened"], np.asarray(psd), cfg,
+        norm_constant=out2["norm_constant"], noise_sigma=1.0, grain=32,
+        mc_range=mcr, q_range=qr)
+    _, _, smc_b, _ = gp.grid_moments(np.asarray(Lb), np.asarray(gx),
+                                     np.asarray(gy))
+    assert abs(np.log(post2[:, 0].std() / smc)) < \
+        abs(np.log(post2[:, 0].std() / smc_b))
 
 
 @pytest.mark.slow

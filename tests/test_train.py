@@ -660,3 +660,30 @@ def test_effective_n_sig_is_event_noise_std():
     old = BBHConfig(n_sig_event=False).n_sig
     assert float(L.residual_moment_loss(meas[None, :], old)) < \
         float(L.residual_moment_loss(noise[None, :], old))
+
+
+def test_gan_real_bank_twin_boost():
+    """twin_boost re-includes the event-twin waveform in the GAN's real
+    bank (boost copies appended), leaving the PE bank untouched.
+
+    The r4 memorization probe measured the reference's twin EXCLUSION
+    (ref: bbhMahoGANy.py:1031-1037) as an anti-truth cue: the one waveform
+    D never sees as real is exactly G's target, so D learns to score it
+    below bank templates (−1.7 logits) and adversarial pressure repels G
+    from the truth."""
+    from gennet_tpu.cli.workloads import BBHConfig, gan_real_bank
+
+    bank = jnp.asarray(np.random.default_rng(0).normal(size=(16, 32)),
+                       jnp.float32)
+    signal = jnp.asarray(np.random.default_rng(1).normal(size=(32,)),
+                         jnp.float32)
+
+    # parity default: untouched (same object, no copy)
+    assert gan_real_bank(BBHConfig(), bank, signal) is bank
+    assert gan_real_bank(BBHConfig(twin_boost=4), None, signal) is None
+
+    boosted = gan_real_bank(BBHConfig(twin_boost=4), bank, signal)
+    assert boosted.shape == (20, 32)
+    np.testing.assert_array_equal(np.asarray(boosted[:16]), np.asarray(bank))
+    for row in np.asarray(boosted[16:]):
+        np.testing.assert_array_equal(row, np.asarray(signal))

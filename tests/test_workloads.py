@@ -103,3 +103,40 @@ def test_freeze_on_res_requires_white_gate(tmp_path):
     with pytest.raises(ValueError, match="freeze_on_res"):
         run_burst_smoke(BurstSmokeConfig(freeze_on_res=1e-5, freeze_on_white=0.0,
                                     out_dir=str(tmp_path / "s")))
+
+
+def test_burst_smoke_multidevice_mesh(tmp_path):
+    """VERDICT r4 #6: the PRODUCTION workload composition — not just the
+    step fn — executed over the 8-device CPU mesh: DP pe/gan steps inside
+    run_burst_smoke, posterior eval, checkpoint."""
+    from gennet_tpu.cli.workloads import run_burst_smoke
+    from gennet_tpu.train.mesh import data_mesh
+
+    mesh = data_mesh(8)
+    assert mesh.shape["data"] == 8
+    cfg = BurstSmokeConfig(
+        n_pix=128, n_signals=512, gan_iters=6, pe_iters=6, cadence=5,
+        batch_size=8, n_posterior=32, pe_grain=21,
+        out_dir=str(tmp_path / "burst_dp"), plots=False,
+    )
+    out = run_burst_smoke(cfg, mesh=mesh)
+    assert np.isfinite(out["rms"]).all()
+    assert 0.0 <= out["grid_overlap"] <= 1.0
+
+
+@pytest.mark.slowest  # full-size BBH models over the mesh; see CPU budget note
+def test_bbh_workload_multidevice_mesh(tmp_path):
+    """run_bbh — sharded-batch CNN + GAN steps, posterior eval, orbax
+    checkpoint, β vs the exact grid — over an 8-device mesh end-to-end,
+    with the twin-boost real bank (SURVEY §4 multi-node note)."""
+    from gennet_tpu.cli.workloads import BBHConfig, run_bbh
+    from gennet_tpu.train.mesh import data_mesh
+
+    cfg = BBHConfig(
+        training_num=24, pe_iters=2, gan_iters=2, cadence=1, pe_cadence=1,
+        eval_cadence=1, n_posterior=8, grid_grain=11, ckpt_every=10_000,
+        twin_boost=4, out_dir=str(tmp_path / "bbh_dp"), plots=False,
+    )
+    out = run_bbh(cfg, mesh=data_mesh(8))
+    assert out["final_step"] >= 2
+    assert out["beta"] is not None and 0.0 <= out["beta"] <= 1.0
