@@ -1088,16 +1088,22 @@ def effective_n_sig(cfg: BBHConfig, norm: float) -> float:
     return float(norm) if getattr(cfg, "n_sig_event", True) else cfg.n_sig
 
 
-def gan_real_bank(cfg: BBHConfig, bank, signal):
+def gan_real_bank(cfg: BBHConfig, bank, signal, mesh=None):
     """Real-set bank for the GAN phase (see ``BBHConfig.twin_boost``).
 
     With ``twin_boost > 0`` the event-twin waveform re-enters the real
     distribution (``boost`` copies, raising its per-draw probability to
     boost/(training_num+boost)); the CNN PE bank is untouched, so the
-    evaluation instrument never trains on the event."""
+    evaluation instrument never trains on the event. Under a DP mesh the
+    sharded GAN step splits bank rows over devices, so the boost is
+    rounded UP until the total row count divides the mesh (extra twin
+    copies only nudge the twin's draw probability)."""
     boost = int(getattr(cfg, "twin_boost", 0) or 0)
     if boost <= 0 or bank is None:
         return bank
+    if mesh is not None:
+        n_dev = mesh.shape["data"]
+        boost += (-(bank.shape[0] + boost)) % n_dev
     twin = jnp.tile(jnp.asarray(signal)[None, :], (boost, 1))
     return jnp.concatenate([bank, twin], axis=0)
 
@@ -1521,7 +1527,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         adv_weight=jnp.asarray(0.0, jnp.float32))
     anneal_start = int(cfg.gan_iters * (1.0 - cfg.anneal_frac))
 
-    gan_bank = gan_real_bank(cfg, bank, signal)
+    gan_bank = gan_real_bank(cfg, bank, signal, mesh=mesh)
     beta_hist, beta_steps = [], []
     best_white, best_state = -1.0, gan_state
     sel_score, sel_states, sel_step = float("-inf"), None, None

@@ -687,3 +687,16 @@ def test_gan_real_bank_twin_boost():
     np.testing.assert_array_equal(np.asarray(boosted[:16]), np.asarray(bank))
     for row in np.asarray(boosted[16:]):
         np.testing.assert_array_equal(row, np.asarray(signal))
+
+
+def test_gan_real_bank_mesh_rounding():
+    """Under a DP mesh the boosted bank must divide the device count; the
+    boost rounds UP with extra twin copies."""
+    from gennet_tpu.cli.workloads import BBHConfig, gan_real_bank
+    from gennet_tpu.train.mesh import data_mesh
+
+    mesh = data_mesh(8)
+    bank = jnp.zeros((24, 16), jnp.float32)
+    signal = jnp.ones((16,), jnp.float32)
+    out = gan_real_bank(BBHConfig(twin_boost=3), bank, signal, mesh=mesh)
+    assert out.shape[0] % 8 == 0 and out.shape[0] == 32  # 3 -> 8 copies

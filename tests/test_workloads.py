@@ -132,10 +132,13 @@ def test_bbh_workload_multidevice_mesh(tmp_path):
     from gennet_tpu.cli.workloads import BBHConfig, run_bbh
     from gennet_tpu.train.mesh import data_mesh
 
+    # DP steps shard the BANK rows over the mesh: after the twin drop the
+    # real bank is training_num−1 rows, and the GAN bank adds twin_boost —
+    # both must divide the 8-device mesh (25−1=24, 24+8=32)
     cfg = BBHConfig(
-        training_num=24, pe_iters=2, gan_iters=2, cadence=1, pe_cadence=1,
+        training_num=25, pe_iters=2, gan_iters=2, cadence=1, pe_cadence=1,
         eval_cadence=1, n_posterior=8, grid_grain=11, ckpt_every=10_000,
-        twin_boost=4, out_dir=str(tmp_path / "bbh_dp"), plots=False,
+        twin_boost=8, out_dir=str(tmp_path / "bbh_dp"), plots=False,
     )
     out = run_bbh(cfg, mesh=data_mesh(8))
     assert out["final_step"] >= 2
