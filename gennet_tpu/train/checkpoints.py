@@ -37,6 +37,12 @@ class CheckpointManager:
     def latest_step(self):
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        """Saved checkpoint indices, ascending. Needed to distinguish the
+        FINAL training state (index == gan_iters) from diagnostic saves the
+        workloads park above it (best-whiteness state at gan_iters+1)."""
+        return sorted(self._mgr.all_steps())
+
     def restore(self, abstract_state: Any, step: int | None = None, extra_abstract: dict | None = None):
         """Restore into the structure of ``abstract_state`` (e.g. a freshly
         init'd state). Returns (state, extra) or (None, None) if empty.

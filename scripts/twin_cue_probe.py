@@ -53,7 +53,11 @@ def main(run_dir: str):
     D = PairDiscriminator(conv_impl=cfg.conv_impl)
     state = init_gan(jax.random.PRNGKey(cfg.seed + 2), G, D, gan_cfg)
     mgr = CheckpointManager(os.path.join(run_dir, "ckpt_gan"))
-    state, step = mgr.restore(state)
+    # the LAST TRAINING state, not the best-whiteness diagnostic the
+    # workload parks at index gan_iters+1 (workloads.py saves it after the
+    # final state, so a bare latest-restore would pick the diagnostic)
+    train_steps = [s for s in mgr.all_steps() if s <= cfg.gan_iters] or None
+    state, step = mgr.restore(state, step=max(train_steps) if train_steps else None)
     mgr.close()
     print(f"restored GAN state at step {int(state.step)}")
 
