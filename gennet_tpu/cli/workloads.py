@@ -1108,13 +1108,25 @@ def gan_real_bank(cfg: BBHConfig, bank, signal, mesh=None):
     return jnp.concatenate([bank, twin], axis=0)
 
 
+def _bbh_bank_cfg(cfg: BBHConfig):
+    """Bank geometry derived from the workload's n_pix.
+
+    Templates are the central 1 s crop at fs (``BankConfig.n_out == fs``),
+    so ``fs = n_pix`` keeps the bank and the model input lengths consistent.
+    n_pix=1024 (the default) is the reference geometry — identical to
+    ``BankConfig()`` (ref: bbhMahoGANy.py:123); smaller n_pix is the
+    integration-test geometry (VERDICT r4 #8: the full-wiring test does not
+    need full-resolution physics)."""
+    return tb.BankConfig(fs=int(cfg.n_pix))
+
+
 def _prepare_bbh_data(cfg: BBHConfig, key, skip_bank: bool = False):
     """Bank + event + (optional) lalinference posterior, all device-resident.
 
     ``skip_bank=True`` returns bank=targets=None (event/psd/norm only) for
     eval-time callers; the event's k_ev split is unchanged, so ``measured``
     is bit-identical to the training run's (the returned key may differ)."""
-    bank_cfg = tb.BankConfig()
+    bank_cfg = _bbh_bank_cfg(cfg)
     lalinf_samples = None
 
     if cfg.lalinf_dir:
@@ -1162,7 +1174,7 @@ def _prepare_bbh_data(cfg: BBHConfig, key, skip_bank: bool = False):
         truth = (30.0, 0.79)  # event-paper point values (ref: :1064)
     else:
         # synthetic event: the injected template's actual parameters
-        bc = tb.BankConfig()
+        bc = _bbh_bank_cfg(cfg)
         mc_t, _ = priors.chirp_mass_eta(bc.tmpl_m1, bc.tmpl_m2)
         truth = (float(mc_t), bc.tmpl_m2 / bc.tmpl_m1)
     return bank, targets, signal, measured, norm, psd, truth, lalinf_samples, key
@@ -1205,7 +1217,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     bank, targets, signal, measured, norm, psd, truth, lalinf_samples, key = \
         _prepare_bbh_data(cfg, key)
-    bank_cfg = tb.BankConfig()
+    bank_cfg = _bbh_bank_cfg(cfg)
     # effective noise std for every residual/whiteness/likelihood target:
     # the event noise in normalized units sits at std = norm (truth-free,
     # = 1/std(measured)); see BBHConfig.n_sig_event

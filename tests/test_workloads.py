@@ -51,18 +51,20 @@ def test_blob_toy_tiny(tmp_path):
     assert np.isfinite(out["gan_d_loss"])
 
 
-@pytest.mark.slowest  # 637s CPU: full flagship integration; bounded slow tier excludes it
+@pytest.mark.slowest  # ~320s CPU warm (VERDICT r4 #8: shrunk from 637s by
+#                       running the full wiring at the n_pix=256 bank
+#                       geometry — integration test, not a convergence test;
+#                       the 1024 reference geometry is exercised by every
+#                       real chip run and by bench.py)
 def test_bbh_workload_tiny(tmp_path):
-    # full flagship wiring with a tiny synthetic bank: the models are built
-    # at full n_pix=1024 but trained only a couple of steps
-    from dataclasses import replace
-
+    # full flagship wiring with a tiny synthetic bank, trained two steps;
+    # n_pix=256 derives a fs=256 BankConfig (workloads._bbh_bank_cfg)
     from gennet_tpu.cli.workloads import BBHConfig, run_bbh
 
     cfg = BBHConfig(
-        training_num=24, pe_iters=2, gan_iters=2, cadence=1, pe_cadence=1,
-        eval_cadence=1, n_posterior=8, grid_grain=11, ckpt_every=10_000,
-        out_dir=str(tmp_path / "bbh"), plots=False,
+        n_pix=256, training_num=24, pe_iters=2, gan_iters=2, cadence=1,
+        pe_cadence=1, eval_cadence=1, n_posterior=8, grid_grain=11,
+        ckpt_every=10_000, out_dir=str(tmp_path / "bbh"), plots=False,
     )
     out = run_bbh(cfg)
     assert out["final_step"] >= 2
@@ -124,7 +126,8 @@ def test_burst_smoke_multidevice_mesh(tmp_path):
     assert 0.0 <= out["grid_overlap"] <= 1.0
 
 
-@pytest.mark.slowest  # full-size BBH models over the mesh; see CPU budget note
+@pytest.mark.slowest  # BBH models at the n_pix=256 test geometry over the
+#                       mesh (VERDICT r4 #8; see test_bbh_workload_tiny note)
 def test_bbh_workload_multidevice_mesh(tmp_path):
     """run_bbh — sharded-batch CNN + GAN steps, posterior eval, orbax
     checkpoint, β vs the exact grid — over an 8-device mesh end-to-end,
@@ -136,9 +139,10 @@ def test_bbh_workload_multidevice_mesh(tmp_path):
     # real bank is training_num−1 rows, and the GAN bank adds twin_boost —
     # both must divide the 8-device mesh (25−1=24, 24+8=32)
     cfg = BBHConfig(
-        training_num=25, pe_iters=2, gan_iters=2, cadence=1, pe_cadence=1,
-        eval_cadence=1, n_posterior=8, grid_grain=11, ckpt_every=10_000,
-        twin_boost=8, out_dir=str(tmp_path / "bbh_dp"), plots=False,
+        n_pix=256, training_num=25, pe_iters=2, gan_iters=2, cadence=1,
+        pe_cadence=1, eval_cadence=1, n_posterior=8, grid_grain=11,
+        ckpt_every=10_000, twin_boost=8,
+        out_dir=str(tmp_path / "bbh_dp"), plots=False,
     )
     out = run_bbh(cfg, mesh=data_mesh(8))
     assert out["final_step"] >= 2
