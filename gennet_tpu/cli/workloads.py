@@ -47,7 +47,7 @@ from gennet_tpu.train import (
 from gennet_tpu.train.cnn import predict as cnn_predict
 from gennet_tpu.train.gan import sample_generator
 from gennet_tpu.train.checkpoints import CheckpointManager, save_posterior_snapshot
-from gennet_tpu.train.metrics import MetricLogger
+from gennet_tpu.train.metrics import MetricLogger, fetch_metrics
 
 
 @dataclass
@@ -575,22 +575,56 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
     # final state healthy, with best-state kept only as a diagnostic
     whiteness = None
     final_score = 0.0
+    sel_route_name = None
+    sel_info = None
     if cfg.gan_iters > 0:
         key, sub = jax.random.split(key)
-        if cfg.select_best and sel_states is not None:
-            # truth-free state selection: the final posterior comes from the
-            # exact state list whose pooled cloud scored the best ELBO, not
-            # the last/frozen state
-            print(f"ELBO-selected state(s) from step {sel_step} "
-                  f"(ELBO {sel_score:.1f})")
-            final_states = sel_states
-        elif cfg.n_snapshots <= 1:
+        if cfg.n_snapshots <= 1:
             final_states = [gan_state]          # reference behavior
         else:
             final_states = list(snapshots) or [gan_state]
             if final_states[-1] is not gan_state:
                 final_states.append(gan_state)
         wf, samples, _ = draw_posterior(final_states, sub)
+        if cfg.select_best == "elbo":
+            # candidate-library selection (posterior_post.select_final_cloud):
+            # the trained-final cloud competes against the saved per-eval
+            # clouds, their ELBO-plateau pool, and smoothed likelihood
+            # resamples of the pooled proposals — all truth-free. Measured
+            # (r5, mlrc_sel seeds): the single-snapshot argmax picks KL-best
+            # but tau-collapsed states; the library restores the pooled /
+            # resampled alternatives as first-class candidates.
+            import glob as _glob
+
+            from gennet_tpu.eval import posterior_post as pp
+
+            synth = lambda s: sine_gaussian(
+                jnp.asarray(s)[:, 0], jnp.asarray(s)[:, 1], N=cfg.n_pix)
+            clouds = {}
+            for p in _glob.glob(os.path.join(
+                    cfg.out_dir, "GAN_posterior_samples",
+                    "posterior_samples_*.npz")):
+                step = int(p.rsplit("_", 1)[1].split(".")[0])
+                if step <= cfg.gan_iters:  # skip a previous run's final (+1)
+                    clouds[step] = np.load(p)["samples"]
+            key, ksel = jax.random.split(key)
+            sel_route_name, chosen, sel_info = pp.select_final_cloud(
+                clouds, synth, measured, cfg.n_sig, ksel,
+                extra={"final": np.asarray(samples)},
+                # search-window prior = the exact grid's parameter box
+                # (burst_grid_posterior defaults)
+                bounds=((0.25, 0.75), (1.0 / 60.0, 1.0 / 15.0)))
+            if chosen is not None and sel_route_name != "final":
+                samples = chosen
+                wf = jnp.asarray(np.asarray(synth(samples[:256]),
+                                            np.float32))
+            if sel_info:
+                print(f"library-selected posterior: {sel_route_name} "
+                      f"(scores {{"
+                      + ", ".join(f"{k}: {v:.1f}"
+                                  for k, v in sel_info["scores"].items())
+                      + f"}}, plateau K={len(sel_info.get('plateau_members', []))}, "
+                      f"pool ESS {sel_info.get('pool_ess', 0.0):.0f})")
         save_posterior_snapshot(
             os.path.join(cfg.out_dir, "GAN_posterior_samples"),
             cfg.gan_iters + 1, np.asarray(samples))  # +1 = the final cloud
@@ -618,7 +652,10 @@ def run_burst_smoke(cfg: BurstSmokeConfig, mesh=None):
             "grid_overlap": final_score,          # final-state score (the gate)
             "grid_overlap_best": best_score,      # best cadence state (diagnostic)
             "frozen_at": frozen_at,               # early-stop step (None = ran full)
-            "selected_at": sel_step,              # ELBO-selected step (None = off)
+            "selected_at": sel_step,              # in-run ELBO argmax step (diagnostic)
+            "selected_route": sel_route_name,     # library candidate chosen (None = off)
+            "pool_ess": (sel_info or {}).get("pool_ess"),
+            "plateau_k": len((sel_info or {}).get("plateau_members", [])) or None,
             "whiteness": whiteness}
 
 
@@ -861,6 +898,14 @@ class BBHConfig:
     gan_iters: int = 500_000
     pe_iters: int = 500_000
     lr: float = 9e-5
+    gan_lr: float = 0.0                 # >0: GAN-only lr override. `lr` feeds
+                                        # BOTH the CNN PE and the GAN; the r5
+                                        # r4flag_b64 screen proved retuning the
+                                        # shared lr for a batch-64 GAN silently
+                                        # retrains the PE at the hot lr (cache
+                                        # tag carries lr) and zeroes the CNN
+                                        # sanity bound — batch-size evidence
+                                        # needs this decoupled knob
     cadence: int = 100                  # cheap jitted metrics: logged at EVERY
                                         # cadence point for the whole run
     eval_cadence: int = 1000            # expensive path: posterior draws, β,
@@ -1346,7 +1391,8 @@ def run_bbh(cfg: BBHConfig, mesh=None):
 
     # ---- GAN -------------------------------------------------------------
     inoise = n_sig_eff if cfg.instance_noise < 0 else cfg.instance_noise
-    gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size, lr=cfg.lr,
+    gan_cfg = GANConfig(n_pix=cfg.n_pix, batch_size=cfg.batch_size,
+                        lr=cfg.gan_lr or cfg.lr,
                         chi_loss=cfg.chi_loss, n_sig=n_sig_eff,
                         pair_discriminator=cfg.pair_d,
                         label_smoothing=cfg.label_smoothing, d_instance_noise=inoise,
@@ -1465,9 +1511,19 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                 print(f"likelihood resample ESS: {ess:.1f}/{len(samples)}")
         return wf, samples, samples_raw, route_elbo
 
-    def eval_posterior(states, key, step, tag=None):
-        """Expensive eval path: posterior draw → CNN → β/grid/whiteness."""
-        wf, samples, samples_raw, route_elbo = draw_posterior(states, key)
+    def eval_posterior(states, key, step, tag=None, cloud_override=None):
+        """Expensive eval path: posterior draw → CNN → β/grid/whiteness.
+
+        ``cloud_override``: score THIS sample cloud instead of a fresh draw
+        (the library-selected final product); its waveforms are synthesized
+        from the parameters since pooled clouds have no single G state.
+        """
+        if cloud_override is not None:
+            samples = samples_raw = np.asarray(cloud_override)
+            wf = jnp.asarray(np.asarray(synth(samples[:256]), np.float32))
+            route_elbo = None
+        else:
+            wf, samples, samples_raw, route_elbo = draw_posterior(states, key)
         raw_row = {}
         if samples_raw is not samples and ref_samples is not None:
             # post-processing active: keep the untransformed cloud's score
@@ -1479,7 +1535,7 @@ def run_bbh(cfg: BBHConfig, mesh=None):
                         samples_raw, grid[0], grid[1], grid[2])
                 log.log(step, raw_row)
         save_posterior_snapshot(os.path.join(cfg.out_dir, "GAN_posterior_samples"),
-                                step, samples)
+                                step + 1 if tag == "final" else step, samples)
         # audited r5 (VERDICT #4): score the posterior-MEAN waveform's
         # residual; per-draw residuals are inflated by the cloud's own
         # dispersion (the r4 flagship's whiteness 0.087-vs-res_loss-9e-4
@@ -1545,19 +1601,39 @@ def run_bbh(cfg: BBHConfig, mesh=None):
     sel_score, sel_states, sel_step = float("-inf"), None, None
     frozen_at = None
     log.steps_per_sec(start)  # reset the steps/sec window for the GAN phase
+    # deferred metric flush: the host logs chunk k−1 (one batched transfer +
+    # jsonl + stdout) while the device runs chunk k, instead of blocking the
+    # dispatch pipeline at every cadence (measured r5 flagship: 94 steps/s
+    # in-run vs 211 pure-loop — the gap was exactly this serialized host
+    # work). Sync points (eval cadence, end of loop) flush first, so the
+    # freeze gate still reads a current res_raw.
+    pending = None  # (step, device-side metric dict) awaiting flush
+    res_raw = float("inf")
+
+    def flush_metrics():
+        nonlocal pending, res_raw
+        if pending is None:
+            return
+        i_p, m_p = pending
+        pending = None
+        mh = fetch_metrics(m_p)
+        res_raw = mh["res_loss"] / max(cfg.res_loss_weight, 1e-30)
+        if i_p % cfg.cadence == 0 and i_p > 0:
+            # cheap jitted metrics: ALWAYS logged, full-run observability
+            log.log(i_p, mh)
+            print(log.status_line(i_p, mh, log.steps_per_sec(i_p)))
+
     for i0 in range(start, cfg.gan_iters, chunk):
         key, sub = jax.random.split(key)
         knobs = anneal_knobs if (cfg.anneal_frac > 0 and i0 >= anneal_start) else base_knobs
         gan_state, m = gan_step_fn(gan_state, gan_bank, measured, sub, knobs)
         if chunk > 1:
             m = {k: v[-1] for k, v in m.items()}
-        res_raw = float(m["res_loss"]) / max(cfg.res_loss_weight, 1e-30)
         i = i0 + chunk if chunk > 1 else i0
-        if i % cfg.cadence == 0 and i > 0:
-            # cheap jitted metrics: ALWAYS logged, full-run observability
-            log.log(i, m)
-            print(log.status_line(i, m, log.steps_per_sec(i)))
+        flush_metrics()          # previous chunk: overlaps this chunk's compute
+        pending = (i, m)
         if i % cfg.eval_cadence == 0 and i > 0:
+            flush_metrics()      # sync path anyway; gate needs fresh res_raw
             snapshots.append(gan_state)
             # posterior draw fully on-device: G samples → CNN (ref: :1330-1343)
             key, sub = jax.random.split(key)
@@ -1604,25 +1680,57 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         if i % cfg.ckpt_every == 0 and i > 0:
             gan_ckpt.save(i, gan_state)
 
+    flush_metrics()  # last chunk's metrics (loop may end mid-defer)
     gan_ckpt.save(max(cfg.gan_iters, 1), gan_state)
 
     # ---- FINAL-state artifacts (the reference uses the last iteration's
     # state, ref: :1241); best-whiteness state persisted as a diagnostic ----
     whiteness = beta_final = grid_overlap_final = beta_sanity_final = None
     beta_raw_final = grid_overlap_raw_final = None
+    sel_route_name = None
+    sel_info = None
     if cfg.gan_iters > start:
         key, sub = jax.random.split(key)
-        if cfg.select_best and sel_states is not None:
-            # truth-free state selection (see burst workload): the final
-            # posterior comes from the exact state list whose pooled cloud
-            # scored the best ELBO, not the last/frozen state
-            print(f"ELBO-selected state(s) from step {sel_step} "
-                  f"(ELBO {sel_score:.1f})")
-            final_states = sel_states
-        else:
-            final_states = [gan_state] if cfg.n_snapshots <= 1 else \
-                (list(snapshots) + ([] if snapshots and snapshots[-1] is gan_state else [gan_state]))
-        ev = eval_posterior(final_states, sub, cfg.gan_iters, tag="final")
+        final_states = [gan_state] if cfg.n_snapshots <= 1 else \
+            (list(snapshots) + ([] if snapshots and snapshots[-1] is gan_state else [gan_state]))
+        cloud_override = None
+        if cfg.select_best == "elbo":
+            # candidate-library selection (posterior_post.select_final_cloud,
+            # same rule as the burst workload): the trained-final cloud
+            # competes against the saved per-eval clouds, their ELBO-plateau
+            # pool (measured r5: single-snapshot argmax has no resolution
+            # inside the plateau — β 0.8975 vs 0.9563 for the K=20 pool),
+            # and smoothed likelihood resamples — all truth-free.
+            import glob as _glob
+
+            from gennet_tpu.eval import posterior_post as pp
+
+            key, kdraw, ksel = jax.random.split(key, 3)
+            _, samples_f, _, _ = draw_posterior(final_states, kdraw)
+            lib = {}
+            for p in _glob.glob(os.path.join(
+                    cfg.out_dir, "GAN_posterior_samples",
+                    "posterior_samples_*.npz")):
+                st = int(p.rsplit("_", 1)[1].split(".")[0])
+                if st <= cfg.gan_iters:  # skip a previous run's final (+1)
+                    lib[st] = np.load(p)["samples"]
+            sel_route_name, chosen, sel_info = pp.select_final_cloud(
+                lib, synth, measured, n_sig_eff, ksel,
+                extra={"final": np.asarray(samples_f)},
+                # search-window prior = the exact grid's parameter box
+                # (bbh_grid_posterior defaults / the hunt_constrain prior)
+                bounds=((20.0, 35.0), (0.5, 1.0)))
+            if sel_info:
+                print(f"library-selected posterior: {sel_route_name} "
+                      f"(scores {{"
+                      + ", ".join(f"{k}: {v:.1f}"
+                                  for k, v in sel_info["scores"].items())
+                      + f"}}, plateau K={len(sel_info.get('plateau_members', []))}, "
+                      f"pool ESS {sel_info.get('pool_ess', 0.0):.0f})")
+            if chosen is not None:
+                cloud_override = np.asarray(chosen)
+        ev = eval_posterior(final_states, sub, cfg.gan_iters, tag="final",
+                            cloud_override=cloud_override)
         whiteness, beta_final = ev["ws"], ev["beta"]
         grid_overlap_final = ev["grid_overlap"]
         beta_sanity_final = ev.get("beta_sanity")
@@ -1656,7 +1764,10 @@ def run_bbh(cfg: BBHConfig, mesh=None):
         "cnn_sanity_beta": cnn_sanity_beta,
         "final_step": int(gan_state.step),
         "frozen_at": frozen_at,
-        "selected_at": sel_step,
+        "selected_at": sel_step,               # in-run ELBO argmax (diagnostic)
+        "selected_route": sel_route_name,      # library candidate chosen
+        "pool_ess": (sel_info or {}).get("pool_ess"),
+        "plateau_k": len((sel_info or {}).get("plateau_members", [])) or None,
         "whiteness": whiteness,
         "pe_rms": pe_rms,
         "pe_std": pe_std,

@@ -69,6 +69,22 @@ class MetricLogger:
             self._fh.close()
 
 
+def fetch_metrics(metrics: dict) -> dict:
+    """One batched device→host transfer for a metric dict.
+
+    ``float(metrics[k])`` per key costs one device round-trip each; over a
+    remote-TPU transport that serializes ~10 round-trips into device idle
+    time at every logging cadence (measured r5 flagship: 94 steps/s in-run
+    vs 211 for the pure fused loop — the gap is host-side logging).
+    ``jax.device_get`` on the whole dict is a single transfer; callers
+    combine it with deferred (one-chunk-late) flushing so the transfer and
+    the jsonl/stdout work overlap the device's next chunk.
+    """
+    import jax
+
+    return {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+
 def profile_trace(out_dir: str):
     """Context manager producing a jax.profiler trace viewable in
     TensorBoard/Perfetto (SURVEY.md §5.1: the reference imported TensorBoard

@@ -12,7 +12,9 @@ Ref context: the reference's validation loop (bbhMahoGANy.py:811-873)
 scores raw CNN(G draws) — post-processing is a beyond-reference lever for
 the same β metric.
 
-Usage: python scripts/bbh_postproc_eval.py OUT_DIR [OUT_DIR ...]
+Usage: python scripts/bbh_postproc_eval.py [--library-only] OUT_DIR [...]
+       (--library-only skips the per-route sweep and runs just the
+        production library selection — the cheap re-selection path)
 """
 
 import glob
@@ -53,7 +55,9 @@ def load_run(out_dir):
 
 
 def main():
-    out_dirs = sys.argv[1:]
+    args = sys.argv[1:]
+    library_only = "--library-only" in args
+    out_dirs = [a for a in args if a != "--library-only"]
     ctx_cache = {}
     for out_dir in out_dirs:
         cfg = load_run(out_dir)
@@ -123,28 +127,29 @@ def main():
                     gp.grid_overlap_score(s, *grid))
 
         routes = {}
-        routes["raw"] = cloud
-        k1, k2, k3, k4, key = jax.random.split(key, 5)
-        routes["debias1"] = pp.self_calibrate(cloud, synth, cnn, k1,
-                                              effective_n_sig(cfg, norm), rounds=1)
-        routes["debias2"] = pp.self_calibrate(cloud, synth, cnn, k2,
-                                              effective_n_sig(cfg, norm), rounds=2)
-        routes["bootcal"] = pp.bootstrap_calibrate(cloud, synth, cnn, k3,
-                                                   effective_n_sig(cfg, norm))
-        routes["debias1_bootcal"] = pp.bootstrap_calibrate(
-            routes["debias1"], synth, cnn, k4, effective_n_sig(cfg, norm))
-        km, kmr, key = jax.random.split(key, 3)
-        routes["mlrc"] = pp.ml_recenter(cloud, synth, measured, km)
-        routes["mlrc_reweight1"] = pp.likelihood_resample(
-            routes["mlrc"], synth, measured, effective_n_sig(cfg, norm), kmr, temper=1.0)
-        kr, kr5, key = jax.random.split(key, 3)
-        routes["reweight1"] = pp.likelihood_resample(
-            cloud, synth, measured, effective_n_sig(cfg, norm), kr, temper=1.0)
-        routes["reweight05"] = pp.likelihood_resample(
-            cloud, synth, measured, effective_n_sig(cfg, norm), kr5, temper=0.5)
-        ess = {t: round(pp.effective_sample_size(cloud, synth, measured,
-                                                 effective_n_sig(cfg, norm), temper=t), 1)
-               for t in (1.0, 0.5)}
+        if not library_only:
+            routes["raw"] = cloud
+            k1, k2, k3, k4, key = jax.random.split(key, 5)
+            routes["debias1"] = pp.self_calibrate(cloud, synth, cnn, k1,
+                                                  effective_n_sig(cfg, norm), rounds=1)
+            routes["debias2"] = pp.self_calibrate(cloud, synth, cnn, k2,
+                                                  effective_n_sig(cfg, norm), rounds=2)
+            routes["bootcal"] = pp.bootstrap_calibrate(cloud, synth, cnn, k3,
+                                                       effective_n_sig(cfg, norm))
+            routes["debias1_bootcal"] = pp.bootstrap_calibrate(
+                routes["debias1"], synth, cnn, k4, effective_n_sig(cfg, norm))
+            km, kmr, key = jax.random.split(key, 3)
+            routes["mlrc"] = pp.ml_recenter(cloud, synth, measured, km)
+            routes["mlrc_reweight1"] = pp.likelihood_resample(
+                routes["mlrc"], synth, measured, effective_n_sig(cfg, norm), kmr, temper=1.0)
+            kr, kr5, key = jax.random.split(key, 3)
+            routes["reweight1"] = pp.likelihood_resample(
+                cloud, synth, measured, effective_n_sig(cfg, norm), kr, temper=1.0)
+            routes["reweight05"] = pp.likelihood_resample(
+                cloud, synth, measured, effective_n_sig(cfg, norm), kr5, temper=0.5)
+            ess = {t: round(pp.effective_sample_size(cloud, synth, measured,
+                                                     effective_n_sig(cfg, norm), temper=t), 1)
+                   for t in (1.0, 0.5)}
 
         for name, s in routes.items():
             b, g = score(np.asarray(s))
@@ -163,6 +168,43 @@ def main():
             print("POSTPROC:", json.dumps(row), flush=True)
             with open("out/bbh_sweeps/postproc.jsonl", "a") as fh:
                 fh.write(json.dumps(row) + "\n")
+
+        # library selection (the r5 production rule, posterior_post.
+        # select_final_cloud): candidate clouds built from ALL saved
+        # per-eval clouds — plateau pool, full pool, smoothed-IS, KDE-IS —
+        # ELBO-chosen; every candidate's truth metrics logged alongside
+        lib = {}
+        for p in npzs:
+            st = int(p.rsplit("_", 1)[1].split(".")[0])
+            if st <= cfg.gan_iters:
+                lib[st] = np.load(p)["samples"].astype(np.float64)
+        key, ksel = jax.random.split(key)
+        sel_name, chosen, info = pp.select_final_cloud(
+            lib, synth, measured, effective_n_sig(cfg, norm), ksel,
+            bounds=((20.0, 35.0), (0.5, 1.0)))
+        if chosen is not None:
+            for cname, ccloud in info["candidates"].items():
+                b, g = score(np.asarray(ccloud))
+                e = info["scores"][cname]
+                row = {"run": os.path.basename(out_dir.rstrip("/")),
+                       "route": f"library:{cname}",
+                       "beta": round(float(b), 4),
+                       "grid_overlap": round(float(g), 4),
+                       "elbo": round(float(e), 2) if np.isfinite(e) else None,
+                       "chosen": cname == sel_name,
+                       "plateau_k": len(info["plateau_members"]),
+                       "pool_ess": round(info["pool_ess"], 1),
+                       "kde_ess": round(info.get("kde_ess", 0.0), 1)}
+                se = info.get("score_ses", {}).get(cname)
+                if se is not None and np.isfinite(se):
+                    row["elbo_se"] = round(float(se), 3)
+                if cname == sel_name and "tiebreak" in info:
+                    row["tiebreak"] = {k: round(v, 4) if isinstance(v, float)
+                                       else v
+                                       for k, v in info["tiebreak"].items()}
+                print("POSTPROC:", json.dumps(row), flush=True)
+                with open("out/bbh_sweeps/postproc.jsonl", "a") as fh:
+                    fh.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":

@@ -232,6 +232,19 @@ VARIANTS = {
                    "select_best": "elbo", "anneal_frac": 0.1,
                    "batch_size": 64, "lr": 5.6e-4,
                    "debug_probes": True, "eval_cadence": 5000},
+    # r4flag_b64 CONFOUNDED (measured r5): `lr` feeds the CNN PE too, so
+    # 5.6e-4 (6× the 9e-5 base, and a fresh cache tag) retrained the PE hot
+    # — cnn_sanity 0.0, every downstream score zeroed — AND the GAN itself
+    # diverged (res_loss 577k at 20k, g_loss →1400). v2 decouples: PE keeps
+    # lr 9e-5 (cache hit on the r4flag batch-64 CNN, sanity 0.973), GAN
+    # gets √(64/8)-scaled gan_lr = 2.5e-4.
+    "r4flag_b64v2": {"pe_batch_size": 64, "pair_d": False, "g_norm": "group",
+                     "res_loss_weight": 3.0, "res_spectral_bands": 32,
+                     "posterior_noise": 1.0, "pe_mlrc": 1,
+                     "reweight_temper": 1.0, "n_snapshots": 4,
+                     "select_best": "elbo", "anneal_frac": 0.1,
+                     "batch_size": 64, "gan_lr": 2.5e-4,
+                     "debug_probes": True, "eval_cadence": 5000},
 }
 
 
@@ -249,6 +262,9 @@ def run_one(name, seed, iters):
         "grid_overlap": out.get("grid_overlap"),
         "whiteness": (out.get("whiteness") or {}).get("overall"),
         "frozen_at": out.get("frozen_at"),
+        "selected_route": out.get("selected_route"),
+        "pool_ess": out.get("pool_ess"),
+        "plateau_k": out.get("plateau_k"),
         "wall_s": round(time.time() - t0, 1),
     }
     os.makedirs("out/bbh_sweeps", exist_ok=True)

@@ -229,6 +229,9 @@ def run_one(name, seed, iters):
         "whiteness": out["whiteness"], "rms": out["rms"],
         "frozen_at": out.get("frozen_at"),
         "selected_at": out.get("selected_at"),
+        "selected_route": out.get("selected_route"),
+        "pool_ess": out.get("pool_ess"),
+        "plateau_k": out.get("plateau_k"),
         "wall_s": round(time.time() - t0, 1),
     }
     os.makedirs("out/sweeps", exist_ok=True)

@@ -278,3 +278,162 @@ def test_select_route_picks_an_improving_route_for_biased_cloud():
     err_raw = np.abs(cloud.mean(0) - truth)
     err_out = np.abs(out.mean(0) - truth)
     assert err_out[1] < err_raw[1], (err_raw, err_out, route, scores)
+
+
+def test_smoothed_resample_restores_continuous_support():
+    # The measured failure this fixes (r5 burst pool): plain systematic
+    # resampling concentrates on the proposal's discrete points, collapsing
+    # the cloud far below the exact posterior's width. The smoothed
+    # bootstrap must (a) recenter a biased proposal onto the truth and
+    # (b) keep the resampled cloud at the posterior's scale, with
+    # continuous support (no duplicate collapse).
+    import jax
+
+    n_sig = 0.05
+    rng = np.random.default_rng(3)
+    truth = np.array([0.125, 0.03])
+    measured = np.asarray(SYNTH(jnp.asarray(truth[None, :]))[0]) \
+        + n_sig * rng.normal(size=N_PIX)
+    # proposal: DISCRETE wide cloud — 512 unique points tiled 4x, tau-offset
+    # (the production proposal is a dense pool of every saved eval cloud)
+    base = truth[None, :] + np.array([0.0, 0.008]) \
+        + rng.normal(0, [0.004, 0.006], (512, 2))
+    proposal = np.tile(base, (4, 1))
+    out = pp.smoothed_resample(proposal, SYNTH, measured, n_sig,
+                               jax.random.PRNGKey(0), n_out=2000)
+    assert out.shape == (2000, 2)
+    # recentring: the likelihood pulls the offset proposal toward the truth
+    err_prop = abs(proposal[:, 1].mean() - truth[1])
+    err_out = abs(out[:, 1].mean() - truth[1])
+    assert err_out < 0.5 * err_prop, (err_prop, err_out)
+    # continuous support (up to f32 quantization): plain resampling would
+    # return at most 512 unique rows
+    assert len(np.unique(out[:, 0])) > 1500
+    # scale: nonzero but below the proposal's width (likelihood sharpens)
+    assert 0 < out[:, 1].std() < proposal[:, 1].std(), out[:, 1].std()
+
+
+def test_plateau_pool_membership_and_nonfinite_guard():
+    clouds = {a: np.full((10, 2), float(a)) for a in (1, 2, 3, 4)}
+    scores = {1: -5.0, 2: -0.05, 3: 0.0, 4: float("-inf")}
+    pool, members = pp.plateau_pool(clouds, scores, delta=0.1)
+    assert members == [2, 3]
+    assert pool.shape == (20, 2)
+    # all-nonfinite: no pool
+    pool, members = pp.plateau_pool(clouds, {k: float("nan") for k in clouds},
+                                    delta=0.1)
+    assert pool is None and members == []
+
+
+def test_select_final_cloud_beats_argmax_on_collapsed_library():
+    # Library in the measured burst failure mode: every saved cloud is
+    # either tau-collapsed at the truth or wide-but-offset; no single cloud
+    # matches the exact posterior, but their pool covers it. The library
+    # selector must return a candidate whose grid overlap is at least the
+    # argmax cloud's, and report the diagnostics.
+    import jax
+    from gennet_tpu.eval import grid_posterior as gp
+
+    n_sig, n_pix = 0.25, 512
+    key = jax.random.PRNGKey(1)
+    _, _, k_noise, key = jax.random.split(key, 4)
+    signal = sine_gaussian(0.5, 1.0 / 25.0, N=n_pix)
+    measured = np.asarray(signal + n_sig * jax.random.normal(k_noise, signal.shape))
+    L, gx, gy = gp.burst_grid_posterior(jnp.asarray(measured), n_sig, 95)
+    L = np.asarray(L, np.float64)
+    mx, my, sx, sy = gp.grid_moments(L, gx, gy)
+    synth = lambda s: sine_gaussian(s[:, 0], s[:, 1], N=n_pix)
+
+    rng = np.random.default_rng(0)
+    lib = {
+        # tau-collapsed at truth (the in-run ELBO argmax's failure shape)
+        1000: np.stack([mx + rng.normal(0, max(sx, 2e-4), 400),
+                        my + rng.normal(0, 0.2 * sy, 400)], -1),
+        # wide and offset (coverage)
+        2000: np.stack([mx + rng.normal(0, 3 * max(sx, 2e-4), 400),
+                        my + 1.5 * sy + rng.normal(0, 3 * sy, 400)], -1),
+        3000: np.stack([mx + rng.normal(0, 3 * max(sx, 2e-4), 400),
+                        my - 1.5 * sy + rng.normal(0, 3 * sy, 400)], -1),
+    }
+    name, cloud, info = pp.select_final_cloud(
+        lib, synth, measured, n_sig, jax.random.PRNGKey(7), n_out=2000)
+    assert name in info["scores"] and cloud is not None
+    assert set(info["scores"]) >= {"argmax", "plateau", "pool", "pool_is",
+                                   "plat_is"}
+    assert info["pool_ess"] > 0
+    ov_chosen = gp.grid_overlap_score(cloud, L, gx, gy)
+    ov_argmax = gp.grid_overlap_score(lib[info["argmax_step"]], L, gx, gy)
+    assert ov_chosen >= ov_argmax - 1e-6, (name, ov_chosen, ov_argmax, info)
+
+
+def test_select_final_cloud_empty_library_falls_back_to_extra():
+    import jax
+
+    n_sig = 0.05
+    rng = np.random.default_rng(5)
+    truth = np.array([0.125, 0.03])
+    measured = np.asarray(SYNTH(jnp.asarray(truth[None, :]))[0]) \
+        + n_sig * rng.normal(size=N_PIX)
+    final = truth[None, :] + rng.normal(0, 0.002, (128, 2))
+    name, cloud, info = pp.select_final_cloud(
+        {}, SYNTH, measured, n_sig, jax.random.PRNGKey(0),
+        extra={"final": final})
+    assert name == "final" and cloud.shape == final.shape
+    name, cloud, info = pp.select_final_cloud(
+        {}, SYNTH, measured, n_sig, jax.random.PRNGKey(0))
+    assert name is None and cloud is None
+
+
+def test_elbo_score_return_se():
+    rng = np.random.default_rng(11)
+    n_sig = 0.05
+    truth = np.array([0.125, 0.03])
+    measured = np.asarray(SYNTH(jnp.asarray(truth[None, :]))[0]) \
+        + n_sig * rng.normal(size=N_PIX)
+    # near-posterior-scale cloud: logL varies O(1) across it, so the SE is
+    # small; a mismatched (too-wide) cloud would have a large SE — that is
+    # the property the tie-break relies on (healthy winners → tight tol)
+    cloud = truth[None, :] + rng.normal(0, [2e-4, 1e-4], (4000, 2))
+    s0 = pp.elbo_score(cloud, SYNTH, measured, n_sig)
+    s1, se = pp.elbo_score(cloud, SYNTH, measured, n_sig, return_se=True)
+    assert s0 == s1
+    assert 0 < se < 5.0
+    # SE shrinks with n (MC error of the E_q[logL] term)
+    _, se_small = pp.elbo_score(cloud[:250], SYNTH, measured, n_sig,
+                                return_se=True)
+    assert se < se_small
+
+
+def test_select_final_cloud_se_tiebreak_contract():
+    # Healthy single-mode library: every saved cloud sits near the exact
+    # posterior, so the candidates' ELBOs land within Monte-Carlo noise of
+    # each other (the measured r5-flagship regime: top candidates 0.01 nats
+    # apart, β 0.8975-0.9731). Contract: the selector returns the plain
+    # ELBO argmax UNLESS kde_is is within one combined SE with healthy IS
+    # ESS, in which case it must prefer kde_is and record the tiebreak.
+    rng = np.random.default_rng(4)
+    n_sig = 0.05
+    truth = np.array([0.125, 0.03])
+    measured = np.asarray(SYNTH(jnp.asarray(truth[None, :]))[0]) \
+        + n_sig * rng.normal(size=N_PIX)
+    lib = {step: truth[None, :] + rng.normal(0, [0.0015, 0.0008], (800, 2))
+           for step in (1000, 2000, 3000)}
+    name, cloud, info = pp.select_final_cloud(
+        lib, SYNTH, measured, n_sig, jax.random.PRNGKey(2), n_out=2000,
+        bounds=((0.0, 0.25), (0.005, 0.1)))
+    scores, ses = info["scores"], info["score_ses"]
+    raw_best = max(scores, key=scores.get)
+    if name == raw_best:
+        assert "tiebreak" not in info
+    else:
+        # only the documented tie-break may override the argmax
+        assert name == "kde_is"
+        tb = info["tiebreak"]
+        assert tb["over"] == raw_best
+        assert tb["gap"] <= tb["tol"] + 1e-12
+        assert info["kde_ess"] >= 100.0
+    # tolerance really is SE-scale, not a magic constant
+    if "tiebreak" in info:
+        exp_tol = float(np.sqrt(ses[raw_best] ** 2 + ses["kde_is"] ** 2))
+        assert abs(info["tiebreak"]["tol"] - exp_tol) < 1e-9
+    assert cloud is not None and cloud.ndim == 2

@@ -39,6 +39,25 @@ def test_burst_smoke_tiny_bootstrap_anneal(tmp_path):
     assert 0.0 <= out["grid_overlap"] <= 1.0
 
 
+def test_burst_smoke_library_selection(tmp_path):
+    """select_best='elbo' end-to-end: per-eval clouds persist, the final
+    posterior comes from the candidate library (posterior_post.
+    select_final_cloud), and the selection diagnostics surface in the
+    summary."""
+    cfg = BurstSmokeConfig(
+        n_pix=128, n_signals=512, gan_iters=10, pe_iters=6, cadence=2,
+        eval_every=1, batch_size=8, n_posterior=32, pe_grain=21,
+        select_best="elbo",
+        out_dir=str(tmp_path / "burst"), plots=False,
+    )
+    out = run_burst_smoke(cfg)
+    assert 0.0 <= out["grid_overlap"] <= 1.0
+    assert out["selected_route"] in {"final", "argmax", "plateau", "pool",
+                                     "pool_is", "plat_is", "kde_is"}, out
+    if out["selected_route"] != "final":
+        assert out["pool_ess"] is None or out["pool_ess"] >= 0.0
+
+
 def test_blob_toy_tiny(tmp_path):
     cfg = BlobToyConfig(
         n_pix=16, n_signals=256, pe_iters=6, mc_pe_iters=6, gan_iters=6,
